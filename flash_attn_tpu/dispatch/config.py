@@ -1,0 +1,121 @@
+"""Static kernel-config resolution (tile sizes, split heuristics).
+
+TPU-native analogue of the reference's per-arch tile tables + heuristics
+(csrc/flash_attn/flash_api.cpp:281 ``num_splits_heuristic``,
+hopper/heuristics.h:26, flash_attn/cute/interface.py:142 ``_tile_size_fwd``).
+On TPU there is no binary-size concern: every static config is JIT-specialized
+by XLA, so this module is pure policy, no codegen.
+"""
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+# v5e per-core numbers used for VMEM budgeting and speed-of-light accounting.
+# Overridable via tpu_spec() for other generations.
+DEFAULT_VMEM_BUDGET = 96 * 1024 * 1024  # leave headroom below the 128MiB cap
+
+
+@dataclasses.dataclass(frozen=True)
+class FwdConfig:
+    block_q: int
+    block_k: int
+
+
+@dataclasses.dataclass(frozen=True)
+class BwdConfig:
+    block_q: int  # q-tile in both dkdv and dq kernels
+    block_k: int
+
+
+def _round_block(seqlen: int, target: int, minimum: int) -> int:
+    """Largest power-of-two block <= target that is still <= padded seqlen."""
+    blk = target
+    while blk > minimum and blk > seqlen:
+        blk //= 2
+    return max(blk, minimum)
+
+
+@functools.lru_cache(maxsize=None)
+def get_fwd_config(
+    head_dim: int,
+    head_dim_v: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    causal: bool,
+    dtype_bits: int = 16,
+) -> FwdConfig:
+    """Tile sizes for the forward mainloop.
+
+    The MXU wants >=128 in both tile dims; VMEM per grid step holds
+    q(Bq,d) + k(Bk,d) + v(Bk,dv) + acc(Bq,dv)f32 + p(Bq,Bk)f32 (transient).
+    Bigger Bk amortizes the per-block rescale; bigger Bq amortizes K/V reloads.
+    """
+    if head_dim <= 64:
+        bq, bk = 512, 1024
+    elif head_dim <= 128:
+        bq, bk = 256, 512
+    else:  # 192/256
+        bq, bk = 128, 512
+    bq = _round_block(seqlen_q, bq, 128)
+    bk = _round_block(seqlen_k, bk, 128)
+    return FwdConfig(block_q=bq, block_k=bk)
+
+
+@functools.lru_cache(maxsize=None)
+def get_bwd_config(
+    head_dim: int,
+    head_dim_v: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    causal: bool,
+    dtype_bits: int = 16,
+) -> BwdConfig:
+    if head_dim <= 64:
+        bq, bk = 512, 512
+    elif head_dim <= 128:
+        bq, bk = 256, 256
+    else:
+        bq, bk = 128, 256
+    return BwdConfig(
+        block_q=_round_block(seqlen_q, bq, 128),
+        block_k=_round_block(seqlen_k, bk, 128),
+    )
+
+
+def normalize_window(
+    window_size: Tuple[Optional[int], Optional[int]],
+) -> Tuple[Optional[int], Optional[int]]:
+    """Accept both the FA2 (-1 = unlimited) and FA4 (None = unlimited)
+    window conventions (flash_attn/flash_attn_interface.py window_size=(-1,-1)
+    vs flash_attn/cute/interface.py window_size=(None, None))."""
+    left, right = window_size
+    if left is not None and left < 0:
+        left = None
+    if right is not None and right < 0:
+        right = None
+    return (left, right)
+
+
+def num_splits_heuristic(
+    total_mblocks: int,
+    num_cores: int,
+    num_kv_blocks: int,
+    max_splits: int = 8,
+) -> int:
+    """How many KV splits for decode so all TPU cores have work.
+
+    Reference analogue: csrc/flash_attn/flash_api.cpp:281 /
+    hopper/heuristics.h:26 (there: fill SMs; here: fill TensorCores, which are
+    few, so the heuristic saturates quickly).
+    """
+    if total_mblocks >= 0.8 * num_cores:
+        return 1
+    max_useful = max(1, min(max_splits, num_kv_blocks, num_cores))
+    best, best_eff = 1, 0.0
+    for s in range(1, max_useful + 1):
+        n_waves = (total_mblocks * s) / num_cores
+        eff = n_waves / float(int(n_waves) + 1) if n_waves < 1 else 1.0
+        if eff > best_eff * 1.05:
+            best, best_eff = s, eff
+    return best

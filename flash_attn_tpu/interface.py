@@ -1,0 +1,197 @@
+"""Public attention API — TPU-native parity surface for
+``flash_attn.flash_attn_interface`` (reference flash_attn/__init__.py:8-16).
+
+All functions take (batch, seqlen, nheads, head_dim) arrays like the
+reference, transpose to the TPU-friendly (batch, nheads, seqlen, head_dim)
+layout internally (XLA fuses the transposes into neighbors), and are
+differentiable via ``jax.custom_vjp``.
+"""
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.dispatch.config import normalize_window
+from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+
+__all__ = [
+    "flash_attn_func",
+    "flash_attn_qkvpacked_func",
+    "flash_attn_kvpacked_func",
+]
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# Differentiable core: closed over static config via functools.partial at
+# custom_vjp boundary. Signature: (q, k, v, alibi_slopes, sink) all bshd.
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11),
+)
+def _flash_attn(q, k, v, alibi_slopes, learnable_sink,
+                softmax_scale, causal, window_size, softcap,
+                attention_chunk, sink_token_length, deterministic):
+    out, _ = _flash_attn_fwd_res(
+        q, k, v, alibi_slopes, learnable_sink,
+        softmax_scale, causal, window_size, softcap,
+        attention_chunk, sink_token_length, deterministic,
+    )
+    return out
+
+
+def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink,
+                        softmax_scale, causal, window_size, softcap,
+                        attention_chunk, sink_token_length, deterministic):
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    out_t, lse = flash_attention_fwd(
+        qt, kt, vt,
+        alibi_slopes=alibi_slopes,
+        learnable_sink=learnable_sink,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        window_size=window_size,
+        softcap=softcap,
+        attention_chunk=attention_chunk,
+        sink_token_length=sink_token_length,
+        interpret=_use_interpret(),
+    )
+    out = jnp.swapaxes(out_t, 1, 2)
+    return out, (q, k, v, alibi_slopes, learnable_sink, out, lse)
+
+
+def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
+                    attention_chunk, sink_token_length, deterministic,
+                    residuals, g):
+    q, k, v, alibi_slopes, learnable_sink, out, lse = residuals
+    dq, dk, dv = flash_attention_bwd(
+        jnp.swapaxes(g, 1, 2),
+        jnp.swapaxes(q, 1, 2),
+        jnp.swapaxes(k, 1, 2),
+        jnp.swapaxes(v, 1, 2),
+        jnp.swapaxes(out, 1, 2),
+        lse,
+        alibi_slopes=alibi_slopes,
+        learnable_sink=learnable_sink,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        window_size=window_size,
+        softcap=softcap,
+        attention_chunk=attention_chunk,
+        sink_token_length=sink_token_length,
+        interpret=_use_interpret(),
+    )
+    dq = jnp.swapaxes(dq, 1, 2).astype(q.dtype)
+    dk = jnp.swapaxes(dk, 1, 2).astype(k.dtype)
+    dv = jnp.swapaxes(dv, 1, 2).astype(v.dtype)
+    # No gradient for alibi slopes / sink yet (reference treats slopes as
+    # non-learnable too; sink grads TODO).
+    d_slopes = None if alibi_slopes is None else jnp.zeros_like(alibi_slopes)
+    d_sink = None if learnable_sink is None else jnp.zeros_like(learnable_sink)
+    return dq, dk, dv, d_slopes, d_sink
+
+
+_flash_attn.defvjp(_flash_attn_fwd_res, _flash_attn_bwd)
+
+
+def flash_attn_func(
+    q,
+    k,
+    v,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+    attention_chunk: int = 0,
+    sink_token_length: int = 0,
+    learnable_sink=None,
+):
+    """Drop-in analogue of the reference ``flash_attn_func``
+    (flash_attn/flash_attn_interface.py:1156).
+
+    Arguments:
+        q: (batch, seqlen_q, nheads, head_dim)
+        k: (batch, seqlen_k, nheads_k, head_dim)  — nheads must divide by nheads_k (GQA/MQA)
+        v: (batch, seqlen_k, nheads_k, head_dim_v)
+        alibi_slopes: (nheads,) or (batch, nheads) fp32
+    Returns:
+        out: (batch, seqlen_q, nheads, head_dim_v); if return_attn_probs, the
+        tuple (out, softmax_lse) with lse of shape (batch, nheads, seqlen_q).
+    """
+    if dropout_p != 0.0:
+        raise NotImplementedError("dropout: pending kernel-PRNG milestone")
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(q.shape[-1])
+    window_size = normalize_window(tuple(window_size))
+    if alibi_slopes is not None and alibi_slopes.ndim == 1:
+        alibi_slopes = jnp.broadcast_to(
+            alibi_slopes[None], (q.shape[0], alibi_slopes.shape[0])
+        )
+    out = _flash_attn(
+        q, k, v, alibi_slopes, learnable_sink,
+        softmax_scale, causal, window_size, softcap,
+        attention_chunk, sink_token_length, deterministic,
+    )
+    if return_attn_probs:
+        # The reference returns (out, lse, S_dmask); we return lse (no dropout
+        # mask until the dropout milestone).
+        _, (_, _, _, _, _, _, lse) = _flash_attn_fwd_res(
+            q, k, v, alibi_slopes, learnable_sink,
+            softmax_scale, causal, window_size, softcap,
+            attention_chunk, sink_token_length, deterministic,
+        )
+        return out, lse
+    return out
+
+
+def flash_attn_qkvpacked_func(
+    qkv,  # (batch, seqlen, 3, nheads, head_dim)
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+):
+    """Parity: flash_attn/flash_attn_interface.py:461 (qkvpacked)."""
+    return flash_attn_func(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+        dropout_p=dropout_p, softmax_scale=softmax_scale, causal=causal,
+        window_size=window_size, softcap=softcap, alibi_slopes=alibi_slopes,
+        deterministic=deterministic, return_attn_probs=return_attn_probs,
+    )
+
+
+def flash_attn_kvpacked_func(
+    q,  # (batch, seqlen_q, nheads, head_dim)
+    kv,  # (batch, seqlen_k, 2, nheads_k, head_dim)
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+):
+    """Parity: flash_attn/flash_attn_interface.py:644 (kvpacked)."""
+    return flash_attn_func(
+        q, kv[:, :, 0], kv[:, :, 1],
+        dropout_p=dropout_p, softmax_scale=softmax_scale, causal=causal,
+        window_size=window_size, softcap=softcap, alibi_slopes=alibi_slopes,
+        deterministic=deterministic, return_attn_probs=return_attn_probs,
+    )

@@ -1,0 +1,373 @@
+"""Pallas TPU flash-attention forward mainloop.
+
+TPU-native redesign of the reference forward kernels
+(csrc/flash_attn/src/flash_fwd_kernel.h:55 ``compute_attn_1rowblock``,
+hopper/mainloop_fwd_sm90_tma_gmma_ws.hpp). The CUDA producer/consumer
+warp-specialized TMA pipeline maps onto the Pallas grid pipeline: blocks of
+K/V are streamed HBM->VMEM by the automatic double-buffered pipeline while the
+MXU consumes the previous block; the online-softmax state (row max / row sum /
+output accumulator) lives in VMEM scratch that persists across the innermost
+(KV) grid dimension.
+
+Design notes:
+ - Layout inside the kernel is (batch, heads, seq, head_dim) so the trailing
+   two dims tile onto the (sublane, lane) = (8/16, 128) hardware tiles.
+ - exp2-based online softmax (the reference's exp2 rescale trick,
+   csrc/flash_attn/src/softmax.h:76-89): log2(e) is folded into the softmax
+   scale before the QK matmul when possible.
+ - Masking writes -inf into the score matrix; fully-masked rows are handled by
+   clamping the running max before exponentiation (no NaNs, zero output,
+   lse = -inf), which matches the golden reference's safe-softmax.
+ - Causal / local-window block skipping: the K/V index maps clamp the KV block
+   index to the valid band so skipped iterations re-use the resident block
+   (no DMA), and ``pl.when`` skips the compute.
+"""
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.dispatch.config import get_fwd_config, normalize_window
+
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
+NEG_INF = float("-inf")
+
+
+def _fwd_kernel(
+    # Optional scalar-prefetch style refs come first when enabled.
+    *refs,
+    block_q: int,
+    block_k: int,
+    seqlen_q: int,
+    seqlen_k: int,
+    num_kv_blocks: int,
+    scale_log2: float,
+    softcap: float,
+    causal: bool,
+    window_left: Optional[int],
+    window_right: Optional[int],
+    attention_chunk: int,
+    sink_token_length: int,
+    has_alibi: bool,
+    has_sink: bool,
+    out_dtype,
+):
+    if has_alibi and has_sink:
+        slopes_ref, sink_ref, q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
+    elif has_alibi:
+        slopes_ref, q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
+        sink_ref = None
+    elif has_sink:
+        sink_ref, q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
+        slopes_ref = None
+    else:
+        q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
+        slopes_ref = sink_ref = None
+
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    shift = seqlen_k - seqlen_q  # bottom-right alignment offset
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc[...] = jnp.zeros_like(acc)
+
+    # ---- dynamic block-band bounds (same math as the index-map clamp) ----
+    j_min, j_max = _kv_block_bounds(
+        i, block_q, block_k, shift, num_kv_blocks, causal,
+        window_left, window_right, sink_token_length, attention_chunk,
+    )
+    should_run = jnp.logical_and(j >= j_min, j <= j_max)
+
+    needs_col_mask = (
+        causal
+        or window_right is not None
+        or window_left is not None
+        or attention_chunk > 0
+        or (seqlen_k % block_k != 0)
+    )
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]  # (block_q, d)
+        k = k_ref[0, 0]  # (block_k, d)
+        v = v_ref[0, 0]  # (block_k, dv)
+        if seqlen_k % block_k != 0:
+            # Zero padded V rows: the pipeline pads partial boundary blocks
+            # with garbage, and 0 (from masked p) * garbage = NaN in the PV
+            # matmul. K needs no fix — its garbage columns are overwritten by
+            # the -inf mask below.
+            kv_rows = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, v.shape, 0
+            )
+            v = jnp.where(kv_rows < seqlen_k, v, 0)
+
+        if softcap > 0.0:
+            # Need natural-scale scores for tanh capping.
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale_log2 / LOG2E)
+            s = jnp.tanh(s / softcap) * softcap
+            s2 = s * LOG2E
+        else:
+            qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
+            s2 = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if has_alibi:
+            slope = slopes_ref[b_idx, h_idx]
+            rows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            if causal:
+                bias = (cols - (seqlen_k - 1)).astype(jnp.float32)
+            else:
+                bias = -jnp.abs(rows + shift - cols).astype(jnp.float32)
+            s2 = s2 + slope * LOG2E * bias
+
+        if needs_col_mask:
+            rows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            valid = jnp.ones((block_q, block_k), dtype=jnp.bool_)
+            wr = 0 if causal else window_right
+            if causal or wr is not None:
+                valid = jnp.logical_and(valid, cols <= rows + shift + wr)
+            if window_left is not None:
+                in_window = cols >= rows + shift - window_left
+                if sink_token_length > 0:
+                    in_window = jnp.logical_or(in_window, cols < sink_token_length)
+                valid = jnp.logical_and(valid, in_window)
+            if attention_chunk > 0:
+                rs = rows + shift
+                limit = rs - rs % attention_chunk
+                valid = jnp.logical_and(
+                    valid,
+                    jnp.logical_and(cols >= limit, cols < limit + attention_chunk),
+                )
+            if seqlen_k % block_k != 0:
+                valid = jnp.logical_and(valid, cols < seqlen_k)
+            s2 = jnp.where(valid, s2, NEG_INF)
+
+        m_prev = m_s[...]  # (block_q, 128), lane-replicated
+        l_prev = l_s[...]
+        row_max = jnp.max(s2, axis=-1, keepdims=True)  # (block_q, 1)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(row_max, m_prev.shape))
+        # Clamp so fully-masked rows (m == -inf) exponentiate to 0, not NaN.
+        m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        p = jnp.exp2(s2 - m_safe[:, :1])  # (block_q, block_k)
+        corr = jnp.exp2(m_prev - m_safe)  # (block_q, 128); exp2(-inf)=0
+        row_sum = jnp.sum(p, axis=-1, keepdims=True)
+        l_s[...] = l_prev * corr + jnp.broadcast_to(row_sum, l_prev.shape)
+        m_s[...] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[...] = acc[...] * corr[:, :1] + pv
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _epilogue():
+        m = m_s[:, :1]  # (block_q, 1) base-2 running max
+        l = l_s[:, :1]
+        if has_sink:
+            sink = sink_ref[0, h_idx].astype(jnp.float32)
+            m_nat = m * LN2
+            m_tot = jnp.maximum(m_nat, sink)
+            l = l * jnp.exp(m_nat - m_tot) + jnp.exp(sink - m_tot)
+            scale_acc = jnp.exp(m_nat - m_tot)
+            o = acc[...] * scale_acc
+            lse = m_tot + jnp.log(l)
+        else:
+            o = acc[...]
+            lse = m * LN2 + jnp.log(l)
+        inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        out_ref[0, 0] = (o * inv_l).astype(out_dtype)
+        lse_ref[0, 0, 0] = lse[:, 0]
+
+
+def _kv_block_bounds(
+    i, block_q, block_k, shift, num_kv_blocks, causal,
+    window_left, window_right, sink_token_length, attention_chunk,
+):
+    """Dynamic [j_min, j_max] KV-block band for query block i (traced ints)."""
+    j_max = num_kv_blocks - 1
+    wr = 0 if causal else window_right
+    if causal or wr is not None:
+        col_hi = i * block_q + (block_q - 1) + shift + wr
+        j_max = jnp.minimum(j_max, col_hi // block_k)
+    j_min = 0
+    if window_left is not None and sink_token_length == 0:
+        col_lo = i * block_q + shift - window_left
+        j_min = jnp.maximum(0, col_lo // block_k)
+    if attention_chunk > 0 and sink_token_length == 0 and window_left is None:
+        rs = i * block_q + shift
+        col_lo = rs - rs % attention_chunk
+        j_min = jnp.maximum(0, col_lo // block_k)
+    return j_min, j_max
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "softmax_scale", "causal", "window_size", "softcap",
+        "attention_chunk", "sink_token_length", "block_q", "block_k",
+        "interpret", "return_lse",
+    ),
+)
+def flash_attention_fwd(
+    q,  # (b, h, sq, d)
+    k,  # (b, h_k, sk, d)
+    v,  # (b, h_k, sk, dv)
+    alibi_slopes=None,  # (b, h) f32
+    learnable_sink=None,  # (h,) logits
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[Optional[int], Optional[int]] = (None, None),
+    softcap: float = 0.0,
+    attention_chunk: int = 0,
+    sink_token_length: int = 0,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+    return_lse: bool = True,
+):
+    """Core fwd dispatch; layout (b, h, s, d). Returns (out, lse).
+
+    lse is the natural-log row logsumexp of the scaled scores, shape
+    (b, h, sq) fp32 (-inf for fully-masked rows).
+    """
+    b, h, sq, d = q.shape
+    _, h_k, sk, _ = k.shape
+    dv = v.shape[-1]
+    assert h % h_k == 0, (h, h_k)
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    window_left, window_right = normalize_window(window_size)
+
+    cfg = get_fwd_config(d, dv, sq, sk, causal)
+    bq = block_q or cfg.block_q
+    bk = block_k or cfg.block_k
+    bq = min(bq, _next_pow2(sq))
+    bk = min(bk, _next_pow2(sk))
+    nq = pl.cdiv(sq, bq)
+    nk = pl.cdiv(sk, bk)
+    shift = sk - sq
+
+    def clamp_j(i, j):
+        j_min, j_max = _kv_block_bounds(
+            i, bq, bk, shift, nk, causal,
+            window_left, window_right, sink_token_length, attention_chunk,
+        )
+        return jnp.clip(jnp.clip(j, j_min, j_max), 0, nk - 1)
+
+    group = h // h_k
+    q_spec = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+    k_spec = pl.BlockSpec(
+        (1, 1, bk, d), lambda b_, h_, i, j: (b_, h_ // group, clamp_j(i, j), 0)
+    )
+    v_spec = pl.BlockSpec(
+        (1, 1, bk, dv), lambda b_, h_, i, j: (b_, h_ // group, clamp_j(i, j), 0)
+    )
+    out_spec = pl.BlockSpec((1, 1, bq, dv), lambda b_, h_, i, j: (b_, h_, i, 0))
+    # lse is laid out (b, h, 1, sq) inside the kernel so the seq dim rides the
+    # 128-lane axis; squeezed to (b, h, sq) on return.
+    lse_spec = pl.BlockSpec((1, 1, 1, bq), lambda b_, h_, i, j: (b_, h_, 0, i))
+
+    in_specs = []
+    inputs = []
+    # Scalars ride whole in SMEM (Mosaic requires full-array blocks there);
+    # kernels index them with program_id.
+    if alibi_slopes is not None:
+        in_specs.append(
+            pl.BlockSpec((b, h), lambda b_, h_, i, j: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        inputs.append(alibi_slopes.astype(jnp.float32))
+    if learnable_sink is not None:
+        in_specs.append(
+            pl.BlockSpec((1, h), lambda b_, h_, i, j: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        inputs.append(learnable_sink.reshape(1, h).astype(jnp.float32))
+    in_specs += [q_spec, k_spec, v_spec]
+    inputs += [q, k, v]
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        block_q=bq,
+        block_k=bk,
+        seqlen_q=sq,
+        seqlen_k=sk,
+        num_kv_blocks=nk,
+        scale_log2=softmax_scale * LOG2E,
+        softcap=softcap,
+        causal=causal,
+        window_left=window_left,
+        window_right=window_right,
+        attention_chunk=attention_chunk,
+        sink_token_length=sink_token_length,
+        has_alibi=alibi_slopes is not None,
+        has_sink=learnable_sink is not None,
+        out_dtype=q.dtype,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, h, nq, nk),
+        in_specs=in_specs,
+        out_specs=[out_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, dv), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, dv), jnp.float32),   # output accumulator
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max (base-2)
+            pltpu.VMEM((bq, 128), jnp.float32),  # running denom
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * sq * sk * (d + dv) // (2 if causal else 1),
+            bytes_accessed=(
+                q.size * q.dtype.itemsize
+                + k.size * k.dtype.itemsize * group
+                + v.size * v.dtype.itemsize * group
+                + b * h * sq * dv * q.dtype.itemsize
+            ),
+            transcendentals=b * h * sq * sk // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    lse = lse[:, :, 0, :]
+    if return_lse:
+        return out, lse
+    return out
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
