@@ -10,10 +10,24 @@ from flash_attn_tpu.interface import (
     flash_attn_func,
     flash_attn_kvpacked_func,
     flash_attn_qkvpacked_func,
+    flash_attn_varlen_func,
+    flash_attn_varlen_kvpacked_func,
+    flash_attn_varlen_qkvpacked_func,
 )
+from flash_attn_tpu.cache.kvcache import (
+    flash_attn_with_kvcache,
+    kv_cache_update,
+)
+from flash_attn_tpu.kernels.flash_decode import combine_splits as flash_attn_combine
 
 __all__ = [
     "flash_attn_func",
     "flash_attn_qkvpacked_func",
     "flash_attn_kvpacked_func",
+    "flash_attn_varlen_func",
+    "flash_attn_varlen_qkvpacked_func",
+    "flash_attn_varlen_kvpacked_func",
+    "flash_attn_with_kvcache",
+    "flash_attn_combine",
+    "kv_cache_update",
 ]

@@ -1,0 +1,158 @@
+"""KV-cache decode attention: ``flash_attn_with_kvcache`` parity.
+
+Reference: flash_attn/flash_attn_interface.py:1485 ``flash_attn_with_kvcache``
+and csrc/flash_attn/flash_api.cpp:1244 ``mha_fwd_kvcache`` (in-kernel cache
+append + rotary + split-KV attention). JAX is functional, so instead of
+mutating the cache in place this returns the updated cache arrays; under
+``jax.jit`` with buffer donation the update is in-place at the XLA level.
+
+Cache layouts:
+ - TPU-native: (batch_cache, kv_heads, seqlen_max, head_dim), pages
+   (num_pages, kv_heads, page_size, head_dim) — seq on the sublane axis.
+ - The reference layout (batch, seqlen, kv_heads, head_dim) is auto-detected
+   via ``cache_layout='bshd'`` and transposed (prefer allocating native).
+"""
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.dispatch.config import normalize_window
+from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
+from flash_attn_tpu.ops.rotary import apply_rotary_emb
+
+__all__ = ["flash_attn_with_kvcache", "kv_cache_update"]
+
+
+def kv_cache_update(
+    k_cache,  # (b_c, h_k, s_max, d) or (pages, h_k, page_size, d)
+    v_cache,
+    k_new,    # (b, s_new, h_k, d)
+    v_new,
+    cache_seqlens,  # (b,) int32 append offsets (old lengths, incl leftpad)
+    block_table=None,     # (b, max_pages)
+    cache_batch_idx=None,  # (b,)
+):
+    """Scatter new K/V into the cache at per-batch offsets. Only the touched
+    positions are written (XLA scatter), not whole cache rows."""
+    b, s_new = k_new.shape[0], k_new.shape[1]
+    offs = cache_seqlens.astype(jnp.int32)
+    pos = offs[:, None] + jnp.arange(s_new, dtype=jnp.int32)[None, :]  # (b,s_new)
+    # scatter wants (b, s_new, h_k, d) with the advanced dims leading
+    k_src = k_new.astype(k_cache.dtype)
+    v_src = v_new.astype(v_cache.dtype)
+    if block_table is not None:
+        page_size = k_cache.shape[2]
+        page = jnp.take_along_axis(
+            block_table.astype(jnp.int32), pos // page_size, axis=1
+        )  # (b, s_new)
+        inpage = pos % page_size
+        k_cache = k_cache.at[page, :, inpage].set(k_src)
+        v_cache = v_cache.at[page, :, inpage].set(v_src)
+    else:
+        bidx = (jnp.arange(b, dtype=jnp.int32) if cache_batch_idx is None
+                else cache_batch_idx.astype(jnp.int32))
+        rows = jnp.broadcast_to(bidx[:, None], pos.shape)
+        k_cache = k_cache.at[rows, :, pos].set(k_src)
+        v_cache = v_cache.at[rows, :, pos].set(v_src)
+    return k_cache, v_cache
+
+
+def flash_attn_with_kvcache(
+    q,  # (b, sq, h, d)
+    k_cache,  # (b_c, h_k, s_max, d) native or (b_c, s_max, h_k, d) bshd
+    v_cache,
+    k=None,  # (b, s_new, h_k, d) new keys to append
+    v=None,
+    rotary_cos=None,  # (s_max_rot, rot_dim/2)
+    rotary_sin=None,
+    cache_seqlens: Optional[jax.Array] = None,  # (b,) or int
+    cache_batch_idx=None,
+    cache_leftpad=None,
+    block_table=None,
+    softmax_scale=None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    rotary_interleaved: bool = False,
+    alibi_slopes=None,
+    num_splits: int = 0,
+    return_softmax_lse: bool = False,
+    cache_layout: str = "native",  # "native" (b,h,s,d) | "bshd" reference
+):
+    """Decode-path attention over a KV cache — parity with the reference
+    ``flash_attn_with_kvcache`` (flash_attn/flash_attn_interface.py:1485).
+
+    JAX-functional deviation: when ``k``/``v`` are given, the updated caches
+    are part of the return value:
+        out [, lse] = ... (k is None)
+        (out, k_cache, v_cache) [, lse] = ... (k is not None)
+    Caches use the TPU-native (batch, heads, seq, dim) layout by default.
+    """
+    b, sq, h, d = q.shape
+    if cache_layout == "bshd":
+        k_cache = jnp.swapaxes(k_cache, 1, 2)
+        v_cache = jnp.swapaxes(v_cache, 1, 2)
+    if cache_seqlens is None:
+        cache_seqlens = jnp.full((b,), k_cache.shape[2], jnp.int32)
+    elif isinstance(cache_seqlens, int):
+        cache_seqlens = jnp.full((b,), cache_seqlens, jnp.int32)
+    cache_seqlens = cache_seqlens.astype(jnp.int32)
+    leftpad = (jnp.zeros((b,), jnp.int32) if cache_leftpad is None
+               else cache_leftpad.astype(jnp.int32))
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    window_size = normalize_window(tuple(window_size))
+
+    s_new = 0
+    if k is not None:
+        s_new = k.shape[1]
+        if rotary_cos is not None:
+            pos_k = cache_seqlens - leftpad
+            k = apply_rotary_emb(
+                k, rotary_cos, rotary_sin, interleaved=rotary_interleaved,
+                seqlen_offsets=pos_k,
+            )
+        k_cache, v_cache = kv_cache_update(
+            k_cache, v_cache, k, v, cache_seqlens,
+            block_table=block_table, cache_batch_idx=cache_batch_idx,
+        )
+    if rotary_cos is not None:
+        # q tokens sit at positions old_len-leftpad .. +sq (causal decode
+        # alignment; non-causal q position = old_len like the reference).
+        pos_q = cache_seqlens - leftpad
+        q = apply_rotary_emb(
+            q, rotary_cos, rotary_sin, interleaved=rotary_interleaved,
+            seqlen_offsets=pos_q,
+        )
+
+    sk_eff = cache_seqlens + s_new
+    if num_splits <= 0:
+        num_splits = 1
+
+    interpret = jax.default_backend() == "cpu"
+    out, lse = flash_attention_decode(
+        q, k_cache, v_cache, sk_eff,
+        block_table=block_table, cache_batch_idx=cache_batch_idx,
+        cache_leftpad=cache_leftpad, alibi_slopes=_norm_slopes(alibi_slopes, b),
+        softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+        softcap=softcap, num_splits=num_splits, interpret=interpret,
+    )
+    if cache_layout == "bshd":
+        k_cache = jnp.swapaxes(k_cache, 1, 2)
+        v_cache = jnp.swapaxes(v_cache, 1, 2)
+
+    if k is not None:
+        result = (out, k_cache, v_cache)
+        return result + (lse,) if return_softmax_lse else result
+    return (out, lse) if return_softmax_lse else out
+
+
+def _norm_slopes(alibi_slopes, b):
+    if alibi_slopes is None:
+        return None
+    if alibi_slopes.ndim == 1:
+        return jnp.broadcast_to(alibi_slopes[None], (b, alibi_slopes.shape[0]))
+    return alibi_slopes

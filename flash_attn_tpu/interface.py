@@ -17,11 +17,18 @@ import jax.numpy as jnp
 from flash_attn_tpu.dispatch.config import normalize_window
 from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+from flash_attn_tpu.kernels.flash_varlen import (
+    flash_attention_varlen_fwd,
+    flash_attention_varlen_bwd,
+)
 
 __all__ = [
     "flash_attn_func",
     "flash_attn_qkvpacked_func",
     "flash_attn_kvpacked_func",
+    "flash_attn_varlen_func",
+    "flash_attn_varlen_qkvpacked_func",
+    "flash_attn_varlen_kvpacked_func",
 ]
 
 
@@ -154,6 +161,158 @@ def flash_attn_func(
         )
         return out, lse
     return out
+
+
+# ----------------------------- varlen ------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(8, 9, 10, 11, 12, 13, 14),
+)
+def _flash_attn_varlen(q, k, v, cu_seqlens_q, cu_seqlens_k,
+                       seqused_q, seqused_k, alibi_slopes,
+                       max_seqlen_q, max_seqlen_k,
+                       softmax_scale, causal, window_size, softcap,
+                       attention_chunk):
+    out, _ = _flash_attn_varlen_fwd_res(
+        q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
+        alibi_slopes, max_seqlen_q, max_seqlen_k,
+        softmax_scale, causal, window_size, softcap, attention_chunk,
+    )
+    return out
+
+
+def _flash_attn_varlen_fwd_res(q, k, v, cu_seqlens_q, cu_seqlens_k,
+                               seqused_q, seqused_k, alibi_slopes,
+                               max_seqlen_q, max_seqlen_k,
+                               softmax_scale, causal, window_size, softcap,
+                               attention_chunk):
+    out, lse = flash_attention_varlen_fwd(
+        q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
+        seqused_q=seqused_q, seqused_k=seqused_k, alibi_slopes=alibi_slopes,
+        softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+        softcap=softcap, attention_chunk=attention_chunk,
+        interpret=_use_interpret(),
+    )
+    return out, (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
+                 alibi_slopes, out, lse)
+
+
+def _flash_attn_varlen_bwd(max_seqlen_q, max_seqlen_k, softmax_scale, causal,
+                           window_size, softcap, attention_chunk,
+                           residuals, g):
+    (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
+     alibi_slopes, out, lse) = residuals
+    dq, dk, dv = flash_attention_varlen_bwd(
+        g, q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k,
+        max_seqlen_q, max_seqlen_k, seqused_q=seqused_q, seqused_k=seqused_k,
+        alibi_slopes=alibi_slopes, softmax_scale=softmax_scale, causal=causal,
+        window_size=window_size, softcap=softcap,
+        attention_chunk=attention_chunk, interpret=_use_interpret(),
+    )
+    zeros_like_opt = lambda x: None if x is None else jnp.zeros_like(x)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None, None, None, zeros_like_opt(alibi_slopes))
+
+
+_flash_attn_varlen.defvjp(_flash_attn_varlen_fwd_res, _flash_attn_varlen_bwd)
+
+
+def flash_attn_varlen_func(
+    q,  # (total_q, nheads, head_dim)
+    k,  # (total_k, nheads_k, head_dim)
+    v,  # (total_k, nheads_k, head_dim_v)
+    cu_seqlens_q,  # (batch+1,) int32
+    cu_seqlens_k,  # (batch+1,) int32
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+    seqused_q=None,
+    seqused_k=None,
+    attention_chunk: int = 0,
+):
+    """Varlen (packed) attention — parity with the reference
+    ``flash_attn_varlen_func`` (flash_attn/flash_attn_interface.py:1286;
+    seqused semantics from hopper/flash_attn_interface.py).
+
+    Returns out (total_q, nheads, head_dim_v); with return_attn_probs, the
+    tuple (out, lse (nheads, total_q)).
+    """
+    if dropout_p != 0.0:
+        raise NotImplementedError("dropout: pending kernel-PRNG milestone")
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(q.shape[-1])
+    window_size = normalize_window(tuple(window_size))
+    if alibi_slopes is not None and alibi_slopes.ndim == 1:
+        b = cu_seqlens_q.shape[0] - 1
+        alibi_slopes = jnp.broadcast_to(
+            alibi_slopes[None], (b, alibi_slopes.shape[0])
+        )
+    out = _flash_attn_varlen(
+        q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
+        alibi_slopes, int(max_seqlen_q), int(max_seqlen_k),
+        softmax_scale, causal, window_size, softcap, attention_chunk,
+    )
+    if return_attn_probs:
+        _, res = _flash_attn_varlen_fwd_res(
+            q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
+            alibi_slopes, int(max_seqlen_q), int(max_seqlen_k),
+            softmax_scale, causal, window_size, softcap, attention_chunk,
+        )
+        return out, res[-1]
+    return out
+
+
+def flash_attn_varlen_qkvpacked_func(
+    qkv,  # (total, 3, nheads, head_dim)
+    cu_seqlens,
+    max_seqlen: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+):
+    """Parity: flash_attn/flash_attn_interface.py:544 (varlen qkvpacked)."""
+    return flash_attn_varlen_func(
+        qkv[:, 0], qkv[:, 1], qkv[:, 2], cu_seqlens, cu_seqlens,
+        max_seqlen, max_seqlen, dropout_p=dropout_p,
+        softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+        softcap=softcap, alibi_slopes=alibi_slopes,
+        deterministic=deterministic, return_attn_probs=return_attn_probs,
+    )
+
+
+def flash_attn_varlen_kvpacked_func(
+    q, kv, cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,
+    deterministic: bool = True,
+    return_attn_probs: bool = False,
+):
+    """Parity: flash_attn/flash_attn_interface.py:706 (varlen kvpacked)."""
+    return flash_attn_varlen_func(
+        q, kv[:, 0], kv[:, 1], cu_seqlens_q, cu_seqlens_k,
+        max_seqlen_q, max_seqlen_k, dropout_p=dropout_p,
+        softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+        softcap=softcap, alibi_slopes=alibi_slopes,
+        deterministic=deterministic, return_attn_probs=return_attn_probs,
+    )
 
 
 def flash_attn_qkvpacked_func(

@@ -1,0 +1,181 @@
+"""GPT-family reference model (flax.linen).
+
+Parity surface for the reference model factory
+(flash_attn/models/gpt.py:409 ``GPTModel``, :577 ``GPTLMHeadModel``,
+``create_mixer_cls``:62 / ``create_mlp_cls``:123 / ``create_block``:262).
+The config knobs mirror the reference's GPT2Config extensions (rotary
+fraction, RMSNorm, gated MLP, parallel block, GQA heads, ALiBi, sliding
+window) so llama/falcon/neox-style architectures are all reachable from one
+config — see the HF config adapters in this package.
+
+Tensor/sequence parallelism: apply flash_attn_tpu.parallel sharding rules to
+the parameter pytree; no model-code changes needed.
+"""
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.modules.block import Block, ParallelBlock
+from flash_attn_tpu.modules.mha import MHA
+from flash_attn_tpu.modules.mlp import GatedMlp, Mlp
+from flash_attn_tpu.ops.norm import layer_norm, rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    vocab_size: int = 50257
+    n_positions: int = 2048      # learned pos-emb length; 0 = none (rotary)
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    n_head_kv: Optional[int] = None
+    n_inner: Optional[int] = None
+    rotary_emb_fraction: float = 0.0
+    rotary_emb_base: float = 10000.0
+    rotary_emb_interleaved: bool = False
+    use_rms_norm: bool = False
+    glu_act: bool = False        # gated (SwiGLU) MLP
+    parallel_block: bool = False
+    use_alibi: bool = False
+    window_size: Tuple[int, int] = (-1, -1)
+    softcap: float = 0.0
+    embd_dropout: float = 0.0
+    resid_dropout: float = 0.0
+    norm_epsilon: float = 1e-5
+    tie_word_embeddings: bool = True
+    max_decode_seqlen: int = 2048
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+class _Embeddings(nn.Module):
+    """Word + optional learned position embeddings, with ``attend`` for
+    weight-tied logits (reference modules/embedding.py GPT2Embeddings)."""
+    config: GPTConfig
+
+    def setup(self):
+        cfg = self.config
+        self.word_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.n_embd, dtype=cfg.dtype)
+        if cfg.n_positions > 0:
+            self.position_embeddings = nn.Embed(
+                cfg.n_positions, cfg.n_embd, dtype=cfg.dtype)
+
+    def __call__(self, input_ids, position_ids=None):
+        x = self.word_embeddings(input_ids)
+        if self.config.n_positions > 0:
+            if position_ids is None:
+                position_ids = jnp.arange(input_ids.shape[-1])[None, :]
+            x = x + self.position_embeddings(position_ids)
+        return x
+
+    def attend(self, hidden):
+        return self.word_embeddings.attend(hidden.astype(self.config.dtype))
+
+
+def _mixer_factory(cfg: GPTConfig):
+    head_dim = cfg.n_embd // cfg.n_head
+    rotary_dim = int(head_dim * cfg.rotary_emb_fraction)
+    return lambda: MHA(
+        embed_dim=cfg.n_embd,
+        num_heads=cfg.n_head,
+        num_heads_kv=cfg.n_head_kv,
+        causal=True,
+        rotary_emb_dim=rotary_dim,
+        rotary_emb_base=cfg.rotary_emb_base,
+        rotary_emb_interleaved=cfg.rotary_emb_interleaved,
+        use_alibi=cfg.use_alibi,
+        window_size=cfg.window_size,
+        softcap=cfg.softcap,
+        max_decode_seqlen=cfg.max_decode_seqlen,
+        dtype=cfg.dtype,
+        name="mixer",
+    )
+
+
+def _mlp_factory(cfg: GPTConfig):
+    inner = cfg.n_inner or 4 * cfg.n_embd
+    if cfg.glu_act:
+        return lambda: GatedMlp(hidden_features=inner * 2 // 3,
+                                dtype=cfg.dtype, name="mlp")
+    return lambda: Mlp(inner, dtype=cfg.dtype, name="mlp")
+
+
+class GPTModel(nn.Module):
+    config: GPTConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embeddings = _Embeddings(cfg)
+        mixer = _mixer_factory(cfg)
+        mlp = _mlp_factory(cfg)
+        if cfg.parallel_block:
+            self.layers = [
+                ParallelBlock(
+                    mixer=mixer, mlp=mlp, resid_dropout=cfg.resid_dropout,
+                    use_rms_norm=cfg.use_rms_norm,
+                    norm_epsilon=cfg.norm_epsilon, dtype=cfg.dtype,
+                ) for _ in range(cfg.n_layer)
+            ]
+        else:
+            self.layers = [
+                Block(
+                    mixer=mixer, mlp=mlp,
+                    resid_dropout1=cfg.resid_dropout,
+                    resid_dropout2=cfg.resid_dropout,
+                    use_rms_norm=cfg.use_rms_norm,
+                    norm_epsilon=cfg.norm_epsilon, dtype=cfg.dtype,
+                ) for _ in range(cfg.n_layer)
+            ]
+        self.ln_f_weight = self.param(
+            "ln_f_weight", nn.initializers.ones, (cfg.n_embd,), jnp.float32)
+        if not cfg.use_rms_norm:
+            self.ln_f_bias = self.param(
+                "ln_f_bias", nn.initializers.zeros, (cfg.n_embd,), jnp.float32)
+
+    def __call__(self, input_ids, position_ids=None, mode: str = "train",
+                 deterministic: bool = True):
+        cfg = self.config
+        hidden = self.embeddings(input_ids, position_ids)
+        if cfg.embd_dropout > 0 and not deterministic:
+            hidden = nn.Dropout(cfg.embd_dropout, deterministic=False)(
+                hidden, rng=self.make_rng("dropout"))
+        residual = None
+        for block in self.layers:
+            hidden, residual = block(
+                hidden, residual, deterministic=deterministic, mode=mode)
+        if residual is not None:
+            hidden = (hidden.astype(jnp.float32)
+                      + residual.astype(jnp.float32)).astype(cfg.dtype)
+        if cfg.use_rms_norm:
+            hidden = rms_norm(hidden, self.ln_f_weight, cfg.norm_epsilon)
+        else:
+            hidden = layer_norm(hidden, self.ln_f_weight, self.ln_f_bias,
+                                cfg.norm_epsilon)
+        return hidden
+
+    def attend(self, hidden):
+        return self.embeddings.attend(hidden)
+
+
+class GPTLMHeadModel(nn.Module):
+    config: GPTConfig
+
+    def setup(self):
+        self.transformer = GPTModel(self.config)
+        if not self.config.tie_word_embeddings:
+            self.lm_head = nn.Dense(self.config.vocab_size, use_bias=False,
+                                    dtype=self.config.dtype)
+
+    def __call__(self, input_ids, position_ids=None, mode: str = "train",
+                 deterministic: bool = True):
+        hidden = self.transformer(input_ids, position_ids, mode=mode,
+                                  deterministic=deterministic)
+        if self.config.tie_word_embeddings:
+            logits = self.transformer.attend(hidden)
+        else:
+            logits = self.lm_head(hidden)
+        return logits.astype(jnp.float32)

@@ -1,0 +1,196 @@
+"""Multi-head attention module (flax.linen).
+
+Parity surface for the reference MHA (flash_attn/modules/mha.py:373 ``MHA``;
+decode fast path ``_apply_rotary_update_kvcache_attention``:502). The
+reference's ``ParallelMHA`` (TP head sharding) does not need a separate class
+in JAX: the same module runs tensor-parallel when its parameters carry
+sharded PartitionSpecs on a mesh (see flash_attn_tpu/parallel) — XLA inserts
+the collectives the reference hand-writes with ColumnParallelLinear /
+RowParallelLinear.
+
+Decode: the KV cache lives in the flax "cache" collection in the TPU-native
+(batch, kv_heads, seqlen, head_dim) layout, updated functionally through
+``flash_attn_with_kvcache`` (mutable=["cache"]).
+"""
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu import flash_attn_func, flash_attn_varlen_func
+from flash_attn_tpu.cache.kvcache import flash_attn_with_kvcache
+from flash_attn_tpu.ops.rotary import apply_rotary_emb
+
+
+class RotaryEmbedding(nn.Module):
+    """Rotary cos/sin table (reference flash_attn/layers/rotary.py:331
+    ``RotaryEmbedding``: base theta, optional xPos scale, interleaved)."""
+    dim: int
+    base: float = 10000.0
+    interleaved: bool = False
+    scale_base: Optional[float] = None
+
+    def cos_sin(self, seqlen: int, dtype=jnp.float32):
+        inv_freq = 1.0 / (
+            self.base ** (jnp.arange(0, self.dim, 2, dtype=jnp.float32) / self.dim)
+        )
+        t = jnp.arange(seqlen, dtype=jnp.float32)
+        freqs = jnp.outer(t, inv_freq)
+        return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+
+
+class MHA(nn.Module):
+    embed_dim: int
+    num_heads: int
+    num_heads_kv: Optional[int] = None  # GQA/MQA
+    head_dim: Optional[int] = None
+    qkv_proj_bias: bool = True
+    out_proj_bias: bool = True
+    dropout: float = 0.0
+    causal: bool = False
+    window_size: Tuple[int, int] = (-1, -1)
+    softcap: float = 0.0
+    softmax_scale: Optional[float] = None
+    rotary_emb_dim: int = 0
+    rotary_emb_base: float = 10000.0
+    rotary_emb_interleaved: bool = False
+    use_alibi: bool = False
+    max_decode_seqlen: int = 2048  # cache allocation length
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def _head_dim(self):
+        return self.head_dim or self.embed_dim // self.num_heads
+
+    @property
+    def _num_heads_kv(self):
+        return self.num_heads_kv or self.num_heads
+
+    def _alibi_slopes(self):
+        h = self.num_heads
+        # standard ALiBi slope schedule (reference uses external slopes)
+        closest = 2 ** math.floor(math.log2(h))
+        base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+        slopes = [base ** (i + 1) for i in range(closest)]
+        if closest != h:
+            extra = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+            slopes += [extra ** (i + 1) for i in range(0, 2 * (h - closest), 2)]
+        return jnp.asarray(slopes, jnp.float32)
+
+    @nn.compact
+    def __call__(
+        self,
+        x,  # (b, s, embed) or packed (total, embed) with cu_seqlens
+        cu_seqlens=None,
+        max_seqlen: Optional[int] = None,
+        mode: str = "train",  # "train" | "prefill" | "decode"
+    ):
+        decode = mode == "decode"
+        prefill = mode == "prefill"
+        d = self._head_dim
+        h, h_k = self.num_heads, self._num_heads_kv
+        qkv_dim = (h + 2 * h_k) * d
+        qkv = nn.Dense(qkv_dim, use_bias=self.qkv_proj_bias, dtype=self.dtype,
+                       name="Wqkv")(x)
+        q, k, v = jnp.split(qkv, [h * d, (h + h_k) * d], axis=-1)
+        slopes = self._alibi_slopes() if self.use_alibi else None
+
+        if cu_seqlens is not None:
+            total = x.shape[0]
+            q = q.reshape(total, h, d)
+            k = k.reshape(total, h_k, d)
+            v = v.reshape(total, h_k, d)
+            if self.rotary_emb_dim > 0:
+                rope = RotaryEmbedding(self.rotary_emb_dim,
+                                       self.rotary_emb_base,
+                                       self.rotary_emb_interleaved)
+                cos, sin = rope.cos_sin(max_seqlen)
+                q = apply_rotary_emb(q, cos, sin, self.rotary_emb_interleaved,
+                                     cu_seqlens=cu_seqlens,
+                                     max_seqlen=max_seqlen)
+                k = apply_rotary_emb(k, cos, sin, self.rotary_emb_interleaved,
+                                     cu_seqlens=cu_seqlens,
+                                     max_seqlen=max_seqlen)
+            ctx = flash_attn_varlen_func(
+                q, k, v, cu_seqlens, cu_seqlens, max_seqlen, max_seqlen,
+                causal=self.causal, window_size=self.window_size,
+                softcap=self.softcap, softmax_scale=self.softmax_scale,
+                alibi_slopes=slopes,
+            )
+            ctx = ctx.reshape(total, h * d)
+        else:
+            b, s = x.shape[:2]
+            q = q.reshape(b, s, h, d)
+            k = k.reshape(b, s, h_k, d)
+            v = v.reshape(b, s, h_k, d)
+            rope = None
+            if self.rotary_emb_dim > 0:
+                rope = RotaryEmbedding(self.rotary_emb_dim,
+                                       self.rotary_emb_base,
+                                       self.rotary_emb_interleaved)
+
+            if decode:
+                # incremental decoding against the cache collection
+                kcache = self.variable(
+                    "cache", "k",
+                    lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
+                                      self.dtype))
+                vcache = self.variable(
+                    "cache", "v",
+                    lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
+                                      self.dtype))
+                offset = self.variable(
+                    "cache", "offset", lambda: jnp.zeros((b,), jnp.int32))
+                cos = sin = None
+                if rope is not None:
+                    cos, sin = rope.cos_sin(self.max_decode_seqlen)
+                out, k_new, v_new = flash_attn_with_kvcache(
+                    q, kcache.value, vcache.value, k=k, v=v,
+                    rotary_cos=cos, rotary_sin=sin,
+                    rotary_interleaved=self.rotary_emb_interleaved,
+                    cache_seqlens=offset.value, causal=self.causal,
+                    window_size=self.window_size, softcap=self.softcap,
+                    softmax_scale=self.softmax_scale, alibi_slopes=slopes,
+                )
+                kcache.value = k_new
+                vcache.value = v_new
+                offset.value = offset.value + s
+                ctx = out
+            else:
+                if rope is not None:
+                    cos, sin = rope.cos_sin(
+                        self.max_decode_seqlen if prefill else s)
+                    q = apply_rotary_emb(q, cos, sin,
+                                         self.rotary_emb_interleaved)
+                    k = apply_rotary_emb(k, cos, sin,
+                                         self.rotary_emb_interleaved)
+                ctx = flash_attn_func(
+                    q, k, v, causal=self.causal, window_size=self.window_size,
+                    softcap=self.softcap, softmax_scale=self.softmax_scale,
+                    alibi_slopes=slopes,
+                )
+                if prefill:
+                    # fill the decode cache with the (already-rotated) keys
+                    from flash_attn_tpu.cache.kvcache import kv_cache_update
+                    kcache = self.variable(
+                        "cache", "k",
+                        lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
+                                          self.dtype))
+                    vcache = self.variable(
+                        "cache", "v",
+                        lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
+                                          self.dtype))
+                    offset = self.variable(
+                        "cache", "offset", lambda: jnp.zeros((b,), jnp.int32))
+                    k_new, v_new = kv_cache_update(
+                        kcache.value, vcache.value, k, v, offset.value)
+                    kcache.value = k_new
+                    vcache.value = v_new
+                    offset.value = offset.value + s
+            ctx = ctx.reshape(b, s, h * d)
+
+        return nn.Dense(self.embed_dim, use_bias=self.out_proj_bias,
+                        dtype=self.dtype, name="out_proj")(ctx)

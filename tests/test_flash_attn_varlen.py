@@ -1,0 +1,172 @@
+"""Varlen (packed) attention tests vs the golden reference.
+
+Mirrors the reference's varlen suites (tests/test_flash_attn.py varlen
+parametrizations) using padded<->packed conversion and per-batch masks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_varlen_func
+from flash_attn_tpu.utils.padding import pad_input, unpad_input
+from flash_attn_tpu.utils.testing import (
+    attention_ref,
+    attn_bias_from_alibi_slopes,
+    check_against_ref,
+    generate_random_padding_mask,
+)
+
+
+def _setup(key, b, sq, sk, h, h_k, d, dtype=jnp.bfloat16, pad_mode="random"):
+    kq, kk, kv, km1, km2 = jax.random.split(key, 5)
+    q = jax.random.normal(kq, (b, sq, h, d)).astype(dtype)
+    k = jax.random.normal(kk, (b, sk, h_k, d)).astype(dtype)
+    v = jax.random.normal(kv, (b, sk, h_k, d)).astype(dtype)
+    qmask = generate_random_padding_mask(sq, b, km1, mode=pad_mode)
+    kmask = generate_random_padding_mask(sk, b, km2, mode=pad_mode)
+    return q, k, v, qmask, kmask
+
+
+@pytest.mark.parametrize("mha_type", ["mha", "gqa"])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [64, 128])
+@pytest.mark.parametrize("seqlen_q,seqlen_k", [(128, 128), (257, 320), (512, 512)])
+def test_varlen_output(seqlen_q, seqlen_k, d, causal, mha_type):
+    key = jax.random.PRNGKey(hash(("vl", seqlen_q, seqlen_k, d, causal)) % 2**31)
+    b, h = 3, 4
+    h_k = {"mha": h, "gqa": 2}[mha_type]
+    q, k, v, qmask, kmask = _setup(key, b, seqlen_q, seqlen_k, h, h_k, d)
+
+    q_un, idx_q, cu_q, msq, _ = unpad_input(q, qmask)
+    k_un, idx_k, cu_k, msk, _ = unpad_input(k, kmask)
+    v_un, _, _, _, _ = unpad_input(v, kmask)
+
+    out_un = flash_attn_varlen_func(
+        q_un, k_un, v_un, cu_q, cu_k, msq, msk, causal=causal
+    )
+    out = pad_input(out_un, idx_q, b, seqlen_q)
+
+    ref, _ = attention_ref(q, k, v, qmask, kmask, causal=causal)
+    ref_lp, _ = attention_ref(
+        q, k, v, qmask, kmask, causal=causal, upcast=False, reorder_ops=True
+    )
+    # Zero padded-query rows in all (kernel writes 0 there via masks).
+    check_against_ref(out, ref, ref_lp, msg=f"varlen {mha_type} causal={causal}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_varlen_local_alibi_softcap(causal):
+    key = jax.random.PRNGKey(99)
+    b, h, d = 2, 4, 64
+    sq, sk = 193, 260
+    q, k, v, qmask, kmask = _setup(key, b, sq, sk, h, h, d)
+    slopes = jax.random.uniform(jax.random.PRNGKey(5), (b, h)) * 0.3
+
+    q_un, idx_q, cu_q, msq, _ = unpad_input(q, qmask)
+    k_un, _, cu_k, msk, _ = unpad_input(k, kmask)
+    v_un, _, _, _, _ = unpad_input(v, kmask)
+
+    # local window
+    out = pad_input(
+        flash_attn_varlen_func(
+            q_un, k_un, v_un, cu_q, cu_k, msq, msk, causal=causal,
+            window_size=(17, 0 if causal else 5),
+        ), idx_q, b, sq,
+    )
+    ws = (17, 0 if causal else 5)
+    ref, _ = attention_ref(q, k, v, qmask, kmask, causal=causal, window_size=ws)
+    ref_lp, _ = attention_ref(q, k, v, qmask, kmask, causal=causal,
+                              window_size=ws, upcast=False, reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg=f"varlen local causal={causal}")
+
+    # alibi
+    out = pad_input(
+        flash_attn_varlen_func(
+            q_un, k_un, v_un, cu_q, cu_k, msq, msk, causal=causal,
+            alibi_slopes=slopes,
+        ), idx_q, b, sq,
+    )
+    bias = attn_bias_from_alibi_slopes(slopes, sq, sk, qmask, kmask, causal=causal)
+    ref, _ = attention_ref(q, k, v, qmask, kmask, attn_bias=bias, causal=causal)
+    ref_lp, _ = attention_ref(q, k, v, qmask, kmask, attn_bias=bias,
+                              causal=causal, upcast=False, reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg=f"varlen alibi causal={causal}")
+
+    # softcap
+    out = pad_input(
+        flash_attn_varlen_func(
+            q_un, k_un, v_un, cu_q, cu_k, msq, msk, causal=causal, softcap=30.0,
+        ), idx_q, b, sq,
+    )
+    ref, _ = attention_ref(q, k, v, qmask, kmask, causal=causal, softcap=30.0)
+    ref_lp, _ = attention_ref(q, k, v, qmask, kmask, causal=causal,
+                              softcap=30.0, upcast=False, reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg=f"varlen softcap causal={causal}")
+
+
+def test_varlen_zero_length():
+    """Zero-length sequences must produce zero output, no NaNs."""
+    key = jax.random.PRNGKey(123)
+    b, h, d = 4, 2, 64
+    sq = sk = 128
+    q, k, v, qmask, kmask = _setup(key, b, sq, sk, h, h, d)
+    kmask = kmask.at[1].set(False)  # batch 1 has no keys
+
+    q_un, idx_q, cu_q, msq, _ = unpad_input(q, qmask)
+    k_un, _, cu_k, msk, _ = unpad_input(k, kmask)
+    v_un, _, _, _, _ = unpad_input(v, kmask)
+
+    out = pad_input(
+        flash_attn_varlen_func(q_un, k_un, v_un, cu_q, cu_k, msq, msk,
+                               causal=True),
+        idx_q, b, sq,
+    )
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+    np.testing.assert_allclose(np.asarray(out[1], np.float32), 0.0)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("mha_type", ["mha", "gqa"])
+def test_varlen_backward(causal, mha_type):
+    key = jax.random.PRNGKey(hash(("vlbwd", causal, mha_type)) % 2**31)
+    b, h, d = 2, 4, 64
+    sq, sk = 200, 256
+    h_k = {"mha": h, "gqa": 2}[mha_type]
+    q, k, v, qmask, kmask = _setup(key, b, sq, sk, h, h_k, d)
+
+    q_un, idx_q, cu_q, msq, _ = unpad_input(q, qmask)
+    k_un, idx_k, cu_k, msk, _ = unpad_input(k, kmask)
+    v_un, _, _, _, _ = unpad_input(v, kmask)
+    g_un = jax.random.normal(jax.random.PRNGKey(7), q_un.shape).astype(q.dtype)
+
+    def f_kernel(q_un, k_un, v_un):
+        out = flash_attn_varlen_func(q_un, k_un, v_un, cu_q, cu_k, msq, msk,
+                                     causal=causal)
+        return (out.astype(jnp.float32) * g_un.astype(jnp.float32)).sum()
+
+    dq_un, dk_un, dv_un = jax.grad(f_kernel, argnums=(0, 1, 2))(q_un, k_un, v_un)
+    dq = pad_input(dq_un, idx_q, b, sq)
+    dk = pad_input(dk_un, idx_k, b, sk)
+    dv = pad_input(dv_un, idx_k, b, sk)
+
+    g_pad = pad_input(g_un, idx_q, b, sq)
+
+    def f_ref(q, k, v, upcast=True):
+        out, _ = attention_ref(q, k, v, qmask, kmask, causal=causal,
+                               upcast=upcast, reorder_ops=not upcast)
+        return (out.astype(jnp.float32) * g_pad.astype(jnp.float32)).sum()
+
+    dq_ref, dk_ref, dv_ref = jax.grad(
+        lambda *a: f_ref(*a, upcast=True), argnums=(0, 1, 2)
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    dq_lp, dk_lp, dv_lp = jax.grad(
+        lambda *a: f_ref(*a, upcast=False), argnums=(0, 1, 2)
+    )(q, k, v)
+
+    for name, got, ref, lp in [("dq", dq, dq_ref, dq_lp),
+                               ("dk", dk, dk_ref, dk_lp),
+                               ("dv", dv, dv_ref, dv_lp)]:
+        check_against_ref(got, ref, lp, mult=3.0, atol=1e-4,
+                          msg=f"varlen {name} causal={causal} {mha_type}")

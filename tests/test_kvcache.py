@@ -1,0 +1,234 @@
+"""flash_attn_with_kvcache tests vs the golden reference.
+
+Mirrors the reference decode suite (tests/test_flash_attn.py:1907
+``test_flash_attn_kvcache``): append, rotary, paged block tables, leftpad,
+cache_batch_idx, split-KV, GQA.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_with_kvcache
+from flash_attn_tpu.ops.rotary import apply_rotary_emb
+from flash_attn_tpu.utils.testing import attention_ref, check_against_ref
+
+
+def _mk(key, shape, dtype=jnp.bfloat16):
+    return jax.random.normal(key, shape).astype(dtype)
+
+
+def _ref_decode(q, k_full, v_full, cache_seqlens_eff, causal, leftpad=None,
+                window_size=(None, None), upcast=True):
+    """k_full/v_full: (b, s_max, h_k, d) with appended keys already placed."""
+    b, s_max = k_full.shape[:2]
+    kmask = jnp.arange(s_max)[None, :] < cache_seqlens_eff[:, None]
+    if leftpad is not None:
+        kmask = jnp.logical_and(kmask, jnp.arange(s_max)[None, :] >= leftpad[:, None])
+    out, _ = attention_ref(
+        q, k_full, v_full, None, kmask, causal=causal,
+        key_leftpad=leftpad, window_size=window_size,
+        upcast=upcast, reorder_ops=not upcast,
+    )
+    return out
+
+
+@pytest.mark.parametrize("mha_type", ["mha", "gqa", "mqa"])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("seqlen_q", [1, 4])
+def test_kvcache_basic(seqlen_q, causal, mha_type):
+    key = jax.random.PRNGKey(hash(("kv", seqlen_q, causal, mha_type)) % 2**31)
+    b, h, d, s_max = 2, 8, 128, 384
+    h_k = {"mha": h, "gqa": 2, "mqa": 1}[mha_type]
+    q = _mk(key, (b, seqlen_q, h, d))
+    kc = _mk(jax.random.PRNGKey(1), (b, h_k, s_max, d))  # native layout
+    vc = _mk(jax.random.PRNGKey(2), (b, h_k, s_max, d))
+    cache_seqlens = jnp.array([200, 384 - seqlen_q], jnp.int32)
+
+    out, lse = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=cache_seqlens, causal=causal,
+        return_softmax_lse=True,
+    )
+    k_b = jnp.swapaxes(kc, 1, 2)
+    v_b = jnp.swapaxes(vc, 1, 2)
+    ref = _ref_decode(q, k_b, v_b, cache_seqlens, causal)
+    ref_lp = _ref_decode(q, k_b, v_b, cache_seqlens, causal, upcast=False)
+    check_against_ref(out, ref, ref_lp, msg=f"kvcache {mha_type} causal={causal}")
+    assert lse.shape == (b, h, seqlen_q)
+
+
+@pytest.mark.parametrize("rotary", [False, True])
+@pytest.mark.parametrize("causal", [True])
+def test_kvcache_append(causal, rotary):
+    key = jax.random.PRNGKey(5)
+    b, h, h_k, d, s_max, s_new = 2, 4, 2, 64, 256, 8
+    q = _mk(key, (b, s_new, h, d))
+    kc = _mk(jax.random.PRNGKey(1), (b, h_k, s_max, d))
+    vc = _mk(jax.random.PRNGKey(2), (b, h_k, s_max, d))
+    k_new = _mk(jax.random.PRNGKey(3), (b, s_new, h_k, d))
+    v_new = _mk(jax.random.PRNGKey(4), (b, s_new, h_k, d))
+    cache_seqlens = jnp.array([77, 150], jnp.int32)
+
+    cos = sin = None
+    if rotary:
+        rot_dim = d // 2
+        inv = 1.0 / (10000 ** (jnp.arange(0, rot_dim, 2) / rot_dim))
+        t = jnp.arange(s_max)
+        ang = t[:, None] * inv[None, :]
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    out, kc2, vc2 = flash_attn_with_kvcache(
+        q, kc, vc, k=k_new, v=v_new, rotary_cos=cos, rotary_sin=sin,
+        cache_seqlens=cache_seqlens, causal=causal,
+    )
+
+    # reference: place (rotated) new keys into the bshd cache copy
+    k_b = jnp.swapaxes(kc, 1, 2)
+    v_b = jnp.swapaxes(vc, 1, 2)
+    k_app, q_rot = k_new, q
+    if rotary:
+        k_app = apply_rotary_emb(k_new, cos, sin, seqlen_offsets=cache_seqlens)
+        q_rot = apply_rotary_emb(q, cos, sin, seqlen_offsets=cache_seqlens)
+    pos = cache_seqlens[:, None] + jnp.arange(s_new)[None, :]
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], pos.shape)
+    k_b = k_b.at[rows, pos].set(k_app)
+    v_b = v_b.at[rows, pos].set(v_new)
+    eff = cache_seqlens + s_new
+    ref = _ref_decode(q_rot, k_b, v_b, eff, causal)
+    ref_lp = _ref_decode(q_rot, k_b, v_b, eff, causal, upcast=False)
+    check_against_ref(out, ref, ref_lp, msg=f"append rotary={rotary}")
+
+    # the updated cache must contain the new keys at the right offsets
+    got_k = jnp.swapaxes(kc2, 1, 2)
+    np.testing.assert_allclose(
+        np.asarray(got_k[rows, pos], np.float32),
+        np.asarray(k_app, np.float32), atol=1e-2, rtol=1e-2,
+    )
+
+
+def test_kvcache_paged():
+    key = jax.random.PRNGKey(9)
+    b, h, h_k, d = 2, 4, 2, 64
+    page_size, pages_per_seq = 128, 3
+    s_max = page_size * pages_per_seq
+    num_pages = b * pages_per_seq + 2
+    q = _mk(key, (b, 1, h, d))
+    kp = _mk(jax.random.PRNGKey(1), (num_pages, h_k, page_size, d))
+    vp = _mk(jax.random.PRNGKey(2), (num_pages, h_k, page_size, d))
+    # shuffled page assignment
+    table = jnp.array([[4, 0, 6], [1, 5, 2]], jnp.int32)
+    cache_seqlens = jnp.array([300, 170], jnp.int32)
+
+    out = flash_attn_with_kvcache(
+        q, kp, vp, cache_seqlens=cache_seqlens, block_table=table, causal=True,
+    )
+
+    # gather pages into linear caches for the reference
+    k_lin = jnp.swapaxes(kp[table].reshape(b, pages_per_seq, h_k, page_size, d)
+                         .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d), 0, 0)
+    v_lin = (vp[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    ref = _ref_decode(q, k_lin, v_lin, cache_seqlens, True)
+    ref_lp = _ref_decode(q, k_lin, v_lin, cache_seqlens, True, upcast=False)
+    check_against_ref(out, ref, ref_lp, msg="paged")
+
+
+def test_kvcache_paged_append():
+    key = jax.random.PRNGKey(11)
+    b, h, h_k, d = 2, 2, 2, 64
+    page_size, pages_per_seq = 128, 2
+    num_pages = b * pages_per_seq
+    s_max = page_size * pages_per_seq
+    q = _mk(key, (b, 1, h, d))
+    kp = _mk(jax.random.PRNGKey(1), (num_pages, h_k, page_size, d))
+    vp = _mk(jax.random.PRNGKey(2), (num_pages, h_k, page_size, d))
+    k_new = _mk(jax.random.PRNGKey(3), (b, 1, h_k, d))
+    v_new = _mk(jax.random.PRNGKey(4), (b, 1, h_k, d))
+    table = jnp.array([[2, 0], [3, 1]], jnp.int32)
+    cache_seqlens = jnp.array([127, 200], jnp.int32)  # crosses a page boundary
+
+    out, kp2, vp2 = flash_attn_with_kvcache(
+        q, kp, vp, k=k_new, v=v_new, cache_seqlens=cache_seqlens,
+        block_table=table, causal=True,
+    )
+    # check scatter landed on the right page slot
+    for i in range(b):
+        pos = int(cache_seqlens[i])
+        pg = int(table[i, pos // page_size])
+        got = kp2[pg, :, pos % page_size]
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(k_new[i, 0].swapaxes(0, 0), np.float32),
+                                   atol=1e-2, rtol=1e-2)
+
+    k_lin = (kp2[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    v_lin = (vp2[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    eff = cache_seqlens + 1
+    ref = _ref_decode(q, k_lin, v_lin, eff, True)
+    ref_lp = _ref_decode(q, k_lin, v_lin, eff, True, upcast=False)
+    check_against_ref(out, ref, ref_lp, msg="paged append")
+
+
+def test_kvcache_leftpad_and_batch_idx():
+    key = jax.random.PRNGKey(13)
+    b, h, h_k, d, s_max = 2, 4, 4, 64, 256
+    b_cache = 4
+    q = _mk(key, (b, 1, h, d))
+    kc = _mk(jax.random.PRNGKey(1), (b_cache, h_k, s_max, d))
+    vc = _mk(jax.random.PRNGKey(2), (b_cache, h_k, s_max, d))
+    cache_seqlens = jnp.array([200, 130], jnp.int32)
+    leftpad = jnp.array([16, 0], jnp.int32)
+    batch_idx = jnp.array([3, 1], jnp.int32)
+
+    out = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=cache_seqlens, cache_leftpad=leftpad,
+        cache_batch_idx=batch_idx, causal=True,
+    )
+    k_b = jnp.swapaxes(kc, 1, 2)[batch_idx]
+    v_b = jnp.swapaxes(vc, 1, 2)[batch_idx]
+    ref = _ref_decode(q, k_b, v_b, cache_seqlens, True, leftpad=leftpad)
+    ref_lp = _ref_decode(q, k_b, v_b, cache_seqlens, True, leftpad=leftpad,
+                         upcast=False)
+    check_against_ref(out, ref, ref_lp, msg="leftpad/batch_idx")
+
+
+@pytest.mark.parametrize("num_splits", [1, 2, 5])
+def test_kvcache_splits(num_splits):
+    key = jax.random.PRNGKey(17)
+    b, h, h_k, d, s_max = 2, 8, 2, 128, 1024
+    q = _mk(key, (b, 1, h, d))
+    kc = _mk(jax.random.PRNGKey(1), (b, h_k, s_max, d))
+    vc = _mk(jax.random.PRNGKey(2), (b, h_k, s_max, d))
+    cache_seqlens = jnp.array([1000, 513], jnp.int32)
+
+    out = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=cache_seqlens, causal=True,
+        num_splits=num_splits,
+    )
+    k_b = jnp.swapaxes(kc, 1, 2)
+    v_b = jnp.swapaxes(vc, 1, 2)
+    ref = _ref_decode(q, k_b, v_b, cache_seqlens, True)
+    ref_lp = _ref_decode(q, k_b, v_b, cache_seqlens, True, upcast=False)
+    check_against_ref(out, ref, ref_lp, msg=f"splits={num_splits}")
+
+
+def test_kvcache_local_window():
+    key = jax.random.PRNGKey(19)
+    b, h, h_k, d, s_max = 2, 4, 4, 64, 256
+    q = _mk(key, (b, 1, h, d))
+    kc = _mk(jax.random.PRNGKey(1), (b, h_k, s_max, d))
+    vc = _mk(jax.random.PRNGKey(2), (b, h_k, s_max, d))
+    cache_seqlens = jnp.array([240, 111], jnp.int32)
+
+    out = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=cache_seqlens, causal=True,
+        window_size=(64, 0),
+    )
+    k_b = jnp.swapaxes(kc, 1, 2)
+    v_b = jnp.swapaxes(vc, 1, 2)
+    ref = _ref_decode(q, k_b, v_b, cache_seqlens, True, window_size=(64, 0))
+    ref_lp = _ref_decode(q, k_b, v_b, cache_seqlens, True,
+                         window_size=(64, 0), upcast=False)
+    check_against_ref(out, ref, ref_lp, msg="kvcache window")

@@ -1,0 +1,104 @@
+"""Tests for fused-op parity: norms, cross-entropy (incl. TP vocab split),
+activations. Reference suites: tests/ops/test_dropout_layer_norm.py,
+tests/losses/test_cross_entropy.py (+ _parallel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.ops.cross_entropy import (
+    cross_entropy_loss,
+    cross_entropy_loss_vocab_parallel,
+)
+from flash_attn_tpu.ops.norm import (
+    dropout_add_layer_norm,
+    dropout_add_rms_norm,
+    layer_norm,
+    rms_norm,
+)
+
+
+def test_layer_norm_matches_direct():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 256), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256,)) * 0.1 + 1
+    b = jax.random.normal(jax.random.PRNGKey(2), (256,)) * 0.1
+    got = layer_norm(x, w, b)
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    ref = (xf - mu) / np.sqrt(var + 1e-5) * np.asarray(w) + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=2e-2)
+
+
+def test_dropout_add_ln_residual_and_prenorm():
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+    res = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64))
+    w = jnp.ones((64,))
+    out, pre = dropout_add_layer_norm(x0, res, w, None, prenorm=True)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(x0 + res), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(layer_norm(x0 + res, w)), atol=1e-6)
+
+
+def test_dropout_statistics():
+    x0 = jnp.ones((4, 128, 256))
+    w = jnp.ones((256,))
+    _, pre = dropout_add_rms_norm(
+        x0, None, w, dropout_p=0.3, prenorm=True, key=jax.random.PRNGKey(0))
+    kept = np.asarray(pre) != 0
+    frac = kept.mean()
+    assert abs(frac - 0.7) < 0.02
+    # kept values are scaled by 1/(1-p)
+    vals = np.asarray(pre)[kept]
+    np.testing.assert_allclose(vals, 1 / 0.7, rtol=1e-5)
+
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+@pytest.mark.parametrize("zloss", [0.0, 1e-4])
+def test_cross_entropy_vs_manual(smoothing, zloss):
+    vocab, n = 512, 64
+    logits = jax.random.normal(jax.random.PRNGKey(0), (n, vocab))
+    labels = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, vocab)
+    labels = labels.at[3].set(-100)
+    got = cross_entropy_loss(logits, labels, label_smoothing=smoothing,
+                             lse_square_scale=zloss)
+    lf = np.asarray(logits, np.float64)
+    lse = np.log(np.exp(lf - lf.max(-1, keepdims=True)).sum(-1)) + lf.max(-1)
+    lab = np.asarray(labels)
+    mask = lab != -100
+    ll = lf[np.arange(n), np.clip(lab, 0, vocab - 1)]
+    if smoothing > 0:
+        loss = lse - (1 - smoothing) * ll - smoothing * lf.mean(-1)
+    else:
+        loss = lse - ll
+    loss = loss + zloss * lse**2
+    ref = (loss * mask).sum() / mask.sum()
+    np.testing.assert_allclose(float(got), ref, rtol=1e-5)
+
+
+def test_cross_entropy_vocab_parallel_matches_single():
+    """TP vocab-split CE under shard_map == single-device CE."""
+    vocab, n, tp = 256, 32, 4
+    logits = jax.random.normal(jax.random.PRNGKey(0), (n, vocab))
+    labels = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, vocab)
+    ref = cross_entropy_loss(logits, labels, label_smoothing=0.1,
+                             lse_square_scale=1e-4, reduction="none")
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    import numpy as onp
+    mesh = Mesh(onp.array(jax.devices()[:tp]), ("tp",))
+    shard = vocab // tp
+
+    def f(logits_shard, labels):
+        start = jax.lax.axis_index("tp") * shard
+        return cross_entropy_loss_vocab_parallel(
+            logits_shard, labels, "tp", start, label_smoothing=0.1,
+            lse_square_scale=1e-4, reduction="none")
+
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(None, "tp"), P()), out_specs=P(),
+        check_vma=False,
+    ))(logits, labels)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=1e-5)
