@@ -78,6 +78,9 @@ def flash_attn_with_kvcache(
     softcap: float = 0.0,
     rotary_interleaved: bool = False,
     alibi_slopes=None,
+    q_descale=None,  # (b, h_k): FP8/INT8 quantized-cache descales
+    k_descale=None,
+    v_descale=None,
     num_splits: int = 0,
     return_softmax_lse: bool = False,
     cache_layout: str = "native",  # "native" (b,h,s,d) | "bshd" reference
@@ -137,6 +140,7 @@ def flash_attn_with_kvcache(
         q, k_cache, v_cache, sk_eff,
         block_table=block_table, cache_batch_idx=cache_batch_idx,
         cache_leftpad=cache_leftpad, alibi_slopes=_norm_slopes(alibi_slopes, b),
+        q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
         softcap=softcap, num_splits=num_splits, interpret=interpret,
     )

@@ -47,16 +47,16 @@ def get_fwd_config(
 ) -> FwdConfig:
     """Tile sizes for the forward mainloop.
 
-    The MXU wants >=128 in both tile dims; VMEM per grid step holds
-    q(Bq,d) + k(Bk,d) + v(Bk,dv) + acc(Bq,dv)f32 + p(Bq,Bk)f32 (transient).
-    Bigger Bk amortizes the per-block rescale; bigger Bq amortizes K/V reloads.
+    Values measured on v5e via benchmarks/autotune_fwd.py (seq 8k, bf16):
+      d=128 non-causal (1024, 2048) -> 125 TF/s; causal (1024, 1024) -> 85
+      d=64  non-causal (1024, 2048) -> 58;     causal (1024, 1024) -> 39
+    Bigger Bq amortizes K/V reloads; bigger Bk amortizes the per-block
+    rescale. VMEM per step ~ q + k + v + acc + 2x-buffered pipeline copies.
     """
-    if head_dim <= 64:
-        bq, bk = 512, 1024
-    elif head_dim <= 128:
-        bq, bk = 256, 512
+    if head_dim <= 128:
+        bq, bk = (1024, 1024) if causal else (1024, 2048)
     else:  # 192/256
-        bq, bk = 128, 512
+        bq, bk = 512, 1024
     bq = _round_block(seqlen_q, bq, 128)
     bk = _round_block(seqlen_k, bk, 128)
     return FwdConfig(block_q=bq, block_k=bk)

@@ -37,25 +37,26 @@ def _use_interpret() -> bool:
 
 
 # Differentiable core: closed over static config via functools.partial at
-# custom_vjp boundary. Signature: (q, k, v, alibi_slopes, sink) all bshd.
+# custom_vjp boundary.
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11),
+    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13),
 )
-def _flash_attn(q, k, v, alibi_slopes, learnable_sink,
+def _flash_attn(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
                 softmax_scale, causal, window_size, softcap,
-                attention_chunk, sink_token_length, deterministic):
+                attention_chunk, sink_token_length, deterministic, dropout_p):
     out, _ = _flash_attn_fwd_res(
-        q, k, v, alibi_slopes, learnable_sink,
+        q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         softmax_scale, causal, window_size, softcap,
-        attention_chunk, sink_token_length, deterministic,
+        attention_chunk, sink_token_length, deterministic, dropout_p,
     )
     return out
 
 
-def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink,
+def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
                         softmax_scale, causal, window_size, softcap,
-                        attention_chunk, sink_token_length, deterministic):
+                        attention_chunk, sink_token_length, deterministic,
+                        dropout_p):
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
@@ -63,6 +64,8 @@ def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink,
         qt, kt, vt,
         alibi_slopes=alibi_slopes,
         learnable_sink=learnable_sink,
+        dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
         softmax_scale=softmax_scale,
         causal=causal,
         window_size=window_size,
@@ -72,13 +75,13 @@ def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink,
         interpret=_use_interpret(),
     )
     out = jnp.swapaxes(out_t, 1, 2)
-    return out, (q, k, v, alibi_slopes, learnable_sink, out, lse)
+    return out, (q, k, v, alibi_slopes, learnable_sink, dropout_seed, out, lse)
 
 
 def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
                     attention_chunk, sink_token_length, deterministic,
-                    residuals, g):
-    q, k, v, alibi_slopes, learnable_sink, out, lse = residuals
+                    dropout_p, residuals, g):
+    q, k, v, alibi_slopes, learnable_sink, dropout_seed, out, lse = residuals
     dq, dk, dv = flash_attention_bwd(
         jnp.swapaxes(g, 1, 2),
         jnp.swapaxes(q, 1, 2),
@@ -88,6 +91,8 @@ def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
         lse,
         alibi_slopes=alibi_slopes,
         learnable_sink=learnable_sink,
+        dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
         softmax_scale=softmax_scale,
         causal=causal,
         window_size=window_size,
@@ -103,7 +108,8 @@ def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
     # non-learnable too; sink grads TODO).
     d_slopes = None if alibi_slopes is None else jnp.zeros_like(alibi_slopes)
     d_sink = None if learnable_sink is None else jnp.zeros_like(learnable_sink)
-    return dq, dk, dv, d_slopes, d_sink
+    d_seed = None if dropout_seed is None else jnp.zeros_like(dropout_seed)
+    return dq, dk, dv, d_slopes, d_sink, d_seed
 
 
 _flash_attn.defvjp(_flash_attn_fwd_res, _flash_attn_bwd)
@@ -124,6 +130,10 @@ def flash_attn_func(
     attention_chunk: int = 0,
     sink_token_length: int = 0,
     learnable_sink=None,
+    dropout_rng=None,
+    q_descale=None,  # (b, h_k) — FP8 forward (inference only, no grad)
+    k_descale=None,
+    v_descale=None,
 ):
     """Drop-in analogue of the reference ``flash_attn_func``
     (flash_attn/flash_attn_interface.py:1156).
@@ -137,8 +147,13 @@ def flash_attn_func(
         out: (batch, seqlen_q, nheads, head_dim_v); if return_attn_probs, the
         tuple (out, softmax_lse) with lse of shape (batch, nheads, seqlen_q).
     """
-    if dropout_p != 0.0:
-        raise NotImplementedError("dropout: pending kernel-PRNG milestone")
+    dropout_seed = None
+    if dropout_p > 0.0:
+        if dropout_rng is None:
+            raise ValueError(
+                "dropout_p > 0 requires dropout_rng (a jax.random key); JAX "
+                "has no global RNG state")
+        dropout_seed = jax.random.bits(dropout_rng, dtype=jnp.uint32)
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(q.shape[-1])
     window_size = normalize_window(tuple(window_size))
@@ -146,20 +161,34 @@ def flash_attn_func(
         alibi_slopes = jnp.broadcast_to(
             alibi_slopes[None], (q.shape[0], alibi_slopes.shape[0])
         )
+    if q_descale is not None or k_descale is not None or v_descale is not None:
+        # FP8 forward path (no backward, matching the reference's fp8 support)
+        qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        out_t, lse = flash_attention_fwd(
+            qt, kt, vt, alibi_slopes=alibi_slopes,
+            learnable_sink=learnable_sink,
+            q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
+            softmax_scale=softmax_scale, causal=causal,
+            window_size=window_size, softcap=softcap,
+            attention_chunk=attention_chunk,
+            sink_token_length=sink_token_length, interpret=_use_interpret(),
+        )
+        out = jnp.swapaxes(out_t, 1, 2)
+        return (out, lse) if return_attn_probs else out
     out = _flash_attn(
-        q, k, v, alibi_slopes, learnable_sink,
+        q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         softmax_scale, causal, window_size, softcap,
-        attention_chunk, sink_token_length, deterministic,
+        attention_chunk, sink_token_length, deterministic, dropout_p,
     )
     if return_attn_probs:
-        # The reference returns (out, lse, S_dmask); we return lse (no dropout
-        # mask until the dropout milestone).
-        _, (_, _, _, _, _, _, lse) = _flash_attn_fwd_res(
-            q, k, v, alibi_slopes, learnable_sink,
+        # The reference returns (out, lse, S_dmask); the dropout mask is
+        # reconstructable via kernels.dropout_rng.dropout_mask_reference.
+        _, res = _flash_attn_fwd_res(
+            q, k, v, alibi_slopes, learnable_sink, dropout_seed,
             softmax_scale, causal, window_size, softcap,
-            attention_chunk, sink_token_length, deterministic,
+            attention_chunk, sink_token_length, deterministic, dropout_p,
         )
-        return out, lse
+        return out, res[-1]
     return out
 
 
@@ -325,6 +354,7 @@ def flash_attn_qkvpacked_func(
     alibi_slopes=None,
     deterministic: bool = True,
     return_attn_probs: bool = False,
+    dropout_rng=None,
 ):
     """Parity: flash_attn/flash_attn_interface.py:461 (qkvpacked)."""
     return flash_attn_func(
@@ -332,6 +362,7 @@ def flash_attn_qkvpacked_func(
         dropout_p=dropout_p, softmax_scale=softmax_scale, causal=causal,
         window_size=window_size, softcap=softcap, alibi_slopes=alibi_slopes,
         deterministic=deterministic, return_attn_probs=return_attn_probs,
+        dropout_rng=dropout_rng,
     )
 
 
@@ -346,6 +377,7 @@ def flash_attn_kvpacked_func(
     alibi_slopes=None,
     deterministic: bool = True,
     return_attn_probs: bool = False,
+    dropout_rng=None,
 ):
     """Parity: flash_attn/flash_attn_interface.py:644 (kvpacked)."""
     return flash_attn_func(
@@ -353,4 +385,5 @@ def flash_attn_kvpacked_func(
         dropout_p=dropout_p, softmax_scale=softmax_scale, causal=causal,
         window_size=window_size, softcap=softcap, alibi_slopes=alibi_slopes,
         deterministic=deterministic, return_attn_probs=return_attn_probs,
+        dropout_rng=dropout_rng,
     )

@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.config import get_bwd_config, normalize_window
+from flash_attn_tpu.kernels.dropout_rng import dropout_keep
 
 LOG2E = math.log2(math.e)
 NEG_INF = float("-inf")
@@ -116,15 +117,13 @@ def _q_block_bounds(j, block_q, block_k, shift, num_q_blocks, causal,
 
 def _dkdv_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_q_blocks,
                  group, scale, softcap, causal, window_left, window_right,
-                 attention_chunk, sink_token_length, has_alibi, k_dtype,
-                 v_dtype):
-    if has_alibi:
-        (slopes_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-         dk_ref, dv_ref, dk_acc, dv_acc) = refs
-    else:
-        (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-         dk_ref, dv_ref, dk_acc, dv_acc) = refs
-        slopes_ref = None
+                 attention_chunk, sink_token_length, has_alibi, dropout_p,
+                 num_heads, k_dtype, v_dtype):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    slopes_ref = refs.pop(0) if has_alibi else None
+    (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+     dk_ref, dv_ref, dk_acc, dv_acc) = refs
 
     b_idx = pl.program_id(0)
     hk_idx = pl.program_id(1)
@@ -172,15 +171,30 @@ def _dkdv_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_q_blocks,
         p = jnp.exp2(s2 - lse2_safe)  # (bq, bk); masked -> 0
         if row_pad:
             p = jnp.where(rv < seqlen_q, p, 0)
-        # dV += P^T dO
+        if dropout_p > 0.0:
+            # regenerate the fwd's keep mask from the same counters
+            drows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            dcols = n * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = dropout_keep(
+                seed_ref[0, 0], b_idx * num_heads + hk_idx * group + g,
+                drows, dcols, dropout_p)
+            scale_keep = 1.0 / (1.0 - dropout_p)
+            p_v = jnp.where(keep, p, 0.0) * scale_keep
+        else:
+            p_v = p
+        # dV += P_dropped^T dO
         dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # dP = dO V^T ; dS = P * (dP - delta) [* dtanh]
+        # dP = dO V^T ; dS = P * (D*dP/(1-p) - delta) [* dtanh]
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if dropout_p > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * scale_keep
         ds = p * (dp - delta)
         if dtanh is not None:
             ds = ds * dtanh
@@ -200,14 +214,13 @@ def _dkdv_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_q_blocks,
 
 def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
                scale, softcap, causal, window_left, window_right,
-               attention_chunk, sink_token_length, has_alibi, q_dtype):
-    if has_alibi:
-        (slopes_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-         dq_ref, dq_acc) = refs
-    else:
-        (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-         dq_ref, dq_acc) = refs
-        slopes_ref = None
+               attention_chunk, sink_token_length, has_alibi, dropout_p,
+               num_heads, q_dtype):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    slopes_ref = refs.pop(0) if has_alibi else None
+    (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+     dq_ref, dq_acc) = refs
 
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -254,6 +267,14 @@ def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if dropout_p > 0.0:
+            drows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            dcols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_idx,
+                                drows, dcols, dropout_p)
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_p))
         ds = p * (dp - delta)
         if dtanh is not None:
             ds = ds * dtanh
@@ -272,7 +293,7 @@ def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
     static_argnames=(
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
-        "interpret",
+        "interpret", "dropout_p",
     ),
 )
 def flash_attention_bwd(
@@ -284,6 +305,8 @@ def flash_attention_bwd(
     lse,  # (b, h, sq) natural-log
     alibi_slopes=None,
     learnable_sink=None,
+    dropout_p: float = 0.0,
+    dropout_seed=None,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[Optional[int], Optional[int]] = (None, None),
@@ -326,7 +349,14 @@ def flash_attention_bwd(
         window_left=window_left, window_right=window_right,
         attention_chunk=attention_chunk, sink_token_length=sink_token_length,
         has_alibi=alibi_slopes is not None,
+        dropout_p=dropout_p, num_heads=h,
     )
+    seed_arr = (jnp.asarray(dropout_seed, jnp.uint32).reshape(1, 1)
+                if dropout_p > 0.0 else None)
+    seed_spec5 = pl.BlockSpec((1, 1), lambda b_, hk, n, g, i: (0, 0),
+                              memory_space=pltpu.SMEM)
+    seed_spec4 = pl.BlockSpec((1, 1), lambda b_, h_, i, j: (0, 0),
+                              memory_space=pltpu.SMEM)
 
     # ---------------- dK/dV kernel ----------------
     def iclamp(j, i):
@@ -338,6 +368,9 @@ def flash_attention_bwd(
 
     dkdv_in_specs = []
     dkdv_inputs = []
+    if dropout_p > 0.0:
+        dkdv_in_specs.append(seed_spec5)
+        dkdv_inputs.append(seed_arr)
     if alibi_slopes is not None:
         dkdv_in_specs.append(
             pl.BlockSpec((b, h), lambda b_, hk, n, g, i: (0, 0),
@@ -402,6 +435,9 @@ def flash_attention_bwd(
 
     dq_in_specs = []
     dq_inputs = []
+    if dropout_p > 0.0:
+        dq_in_specs.append(seed_spec4)
+        dq_inputs.append(seed_arr)
     if alibi_slopes is not None:
         dq_in_specs.append(
             pl.BlockSpec((b, h), lambda b_, h_, i, j: (0, 0),

@@ -9,20 +9,19 @@ hopper/paged_kv.h:18 ``PagedKVManager``, hopper/pack_gqa.h:15
  - GQA packing ("seqlenq_ngroups_swapped", flash_api.cpp:431-437): the
    (seqlen_q x group) query rows of one KV head are packed into a single
    row-block so the MXU sees a tall GEMM instead of `group` skinny ones.
- - Split-KV: the KV range is chopped into ``num_splits`` contiguous chunks;
-   each split emits fp32 partial output + partial LSE, merged by
-   ``combine_splits`` (the reference's flash_fwd_combine kernel — on TPU a
-   trivially-fused XLA reduction; it is also exposed as the public
-   ``flash_attn_combine`` for cross-chip merges). On a 1-2 core TPU chip
-   splits buy nothing locally; they are the primitive for sharding the cache
-   across chips/hosts.
- - Paged KV: the KV tile index map reads the page table from SMEM (scalar
-   prefetch) — the TPU version of the reference's in-kernel page-pointer
-   arithmetic. Requires kv tile size == page size.
+ - The KV cache stays in HBM (memory_space=ANY); the kernel streams tiles
+   through a double-buffered VMEM window with explicit async DMA — the
+   reference's cp.async/TMA pipeline, including the page-table indirection
+   (page ids read from SMEM in the kernel body, the PagedKVManager
+   equivalent). This also means zero wasted fetches beyond each sequence's
+   dynamic length — the trip count is data-dependent, unlike a grid.
+ - Split-KV: each split covers a contiguous chunk of the (dynamic) KV range
+   and emits fp32 partial output + partial LSE, merged by ``combine_splits``
+   (the reference's flash_fwd_combine — a trivially-fused XLA reduction on
+   TPU; also the public ``flash_attn_combine`` for cross-chip merges).
 
 Cache layout is TPU-native (batch, kv_heads, seqlen, head_dim) / pages
-(num_pages, kv_heads, page_size, head_dim) so seq rides the sublane axis; the
-compat interface transposes reference-layout caches once.
+(num_pages, kv_heads, page_size, head_dim) so seq rides the sublane axis.
 """
 
 import functools
@@ -42,57 +41,100 @@ NEG_INF = float("-inf")
 
 
 def _decode_kernel(
-    # scalar prefetch
-    seqlens_ref,        # (b,) effective kv length per batch entry
-    leftpad_ref,        # (b,)
-    batch_idx_ref,      # (b,) cache row per batch entry
-    page_tab_ref,       # (b, max_tiles) page table in kv-tile units (or dummy)
+    # scalar prefetch (SMEM)
+    seqlens_ref,   # (b,) effective kv length per batch entry (incl leftpad)
+    leftpad_ref,   # (b,)
+    batch_idx_ref,  # (b,) cache row per batch entry
+    page_tab_ref,  # (b, max_tiles) page table in kv-tile units (or dummy)
     *refs,
-    block_k, rows_pad, seqlen_q, group, kv_tiles_per_split, num_kv_tiles,
+    block_k, rows_pad, seqlen_q, group, num_splits, max_tiles,
     scale_log2, softcap, causal, window_left, window_right,
-    has_alibi, paged,
+    has_alibi, paged, num_pages, has_descale,
 ):
-    if has_alibi:
-        slopes_ref, q_ref, k_ref, v_ref, outp_ref, lsep_ref, acc, m_s, l_s = refs
-    else:
-        q_ref, k_ref, v_ref, outp_ref, lsep_ref, acc, m_s, l_s = refs
-        slopes_ref = None
+    refs = list(refs)
+    slopes_ref = refs.pop(0) if has_alibi else None
+    descale_ref = refs.pop(0) if has_descale else None  # (3, b, h_k) SMEM
+    (q_ref, kc_ref, vc_ref, outp_ref, lsep_ref,
+     kbuf, vbuf, sems, acc, m_s, l_s) = refs
 
     b_idx = pl.program_id(0)
+    kh = pl.program_id(1)
     split = pl.program_id(2)
-    jj = pl.program_id(3)
-    j = split * kv_tiles_per_split + jj  # global kv tile
-
-    @pl.when(jj == 0)
-    def _init():
-        m_s[...] = jnp.full_like(m_s, NEG_INF)
-        l_s[...] = jnp.zeros_like(l_s)
-        acc[...] = jnp.zeros_like(acc)
 
     sk = seqlens_ref[b_idx]
     leftpad = leftpad_ref[b_idx]
+    row = batch_idx_ref[b_idx]
     sk_eff = sk - leftpad
-    num_valid_tiles = (sk + block_k - 1) // block_k
-    should_run = jnp.logical_and(j < num_valid_tiles, j < num_kv_tiles)
+    tiles_total = (sk + block_k - 1) // block_k
+    kps = (tiles_total + num_splits - 1) // num_splits  # tiles per split
+    t_lo = split * kps
+    t_hi = jnp.minimum(tiles_total, t_lo + kps)
 
-    @pl.when(should_run)
-    def _compute():
-        q = q_ref[0, 0]  # (rows_pad, d)
-        k = k_ref[0, 0]  # (block_k, d)
-        v = v_ref[0, 0]
+    acc[...] = jnp.zeros_like(acc)
+    m_s[...] = jnp.full_like(m_s, NEG_INF)
+    l_s[...] = jnp.zeros_like(l_s)
 
-        cols = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (rows_pad, block_k), 1
-        )
-        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 0)
-        tok = rows // group  # query token of the packed row
+    def k_dma(slot, t):
+        if paged:
+            page = jnp.clip(page_tab_ref[b_idx, jnp.minimum(t, max_tiles - 1)],
+                            0, num_pages - 1)
+            src_k = kc_ref.at[page, kh]
+            src_v = vc_ref.at[page, kh]
+        else:
+            off = pl.multiple_of(t * block_k, block_k)
+            src_k = kc_ref.at[row, kh, pl.ds(off, block_k)]
+            src_v = vc_ref.at[row, kh, pl.ds(off, block_k)]
+        ck = pltpu.make_async_copy(src_k, kbuf.at[slot], sems.at[slot, 0])
+        cv = pltpu.make_async_copy(src_v, vbuf.at[slot], sems.at[slot, 1])
+        return ck, cv
+
+    @pl.when(t_lo < t_hi)
+    def _prologue():
+        ck, cv = k_dma(0, t_lo)
+        ck.start()
+        cv.start()
+
+    q = q_ref[0, 0]  # (rows_pad, d)
+    if has_descale:
+        # quantized (FP8/INT8) KV pages: dequantize after the DMA; scalar
+        # descales fold into the softmax scale and epilogue (reference FP8
+        # kvcache semantics, hopper/flash.h:54-62)
+        qd = descale_ref[0, b_idx, kh]
+        kd = descale_ref[1, b_idx, kh]
+        q = q.astype(jnp.bfloat16)
+    qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 1)
+    tok = rows_i // group
+    shift = sk_eff - seqlen_q
+    slope = slopes_ref[0, 0] if has_alibi else None  # (rows_pad, 1)
+
+    def body(t, _):
+        slot = jax.lax.rem(t - t_lo, 2)
+
+        @pl.when(t + 1 < t_hi)
+        def _prefetch():
+            ck, cv = k_dma(jax.lax.rem(t + 1 - t_lo, 2), t + 1)
+            ck.start()
+            cv.start()
+
+        ck, cv = k_dma(slot, t)
+        ck.wait()
+        cv.wait()
+        k = kbuf[slot]
+        v = vbuf[slot]
+        if has_descale:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+
+        cols = t * block_k + cols_i
         pos_k = cols - leftpad
-
-        # Zero cache garbage beyond sk (and pre-leftpad region) in V.
         col_ok = jnp.logical_and(cols < sk, cols >= leftpad)
         vmask = jnp.logical_and(
-            jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + j * block_k < sk,
-            jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + j * block_k >= leftpad,
+            jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+            + t * block_k < sk,
+            jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+            + t * block_k >= leftpad,
         )
         v = jnp.where(vmask, v, 0)
 
@@ -101,18 +143,17 @@ def _decode_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * (scale_log2 / LOG2E)
-            t = jnp.tanh(s / softcap)
-            s2 = t * softcap * LOG2E
+            tt = jnp.tanh(s / softcap)
+            s2 = tt * softcap * LOG2E
         else:
-            qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
             s2 = jax.lax.dot_general(
                 qs, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if has_descale:
+                s2 = s2 * (qd * kd)
 
-        shift = sk_eff - seqlen_q
         if has_alibi:
-            slope = slopes_ref[0, 0]  # (rows_pad, 1)
             if causal:
                 bias = (pos_k - (sk_eff - 1)).astype(jnp.float32)
             else:
@@ -142,17 +183,18 @@ def _decode_kernel(
             preferred_element_type=jnp.float32,
         )
         acc[...] = acc[...] * corr[:, :1] + pv
+        return 0
 
-    @pl.when(jj == kv_tiles_per_split - 1)
-    def _epilogue():
-        # fp32 partials; the combine normalizes, so emit unnormalized
-        # acc plus lse (lse = -inf when the split saw nothing).
-        m = m_s[:, :1]
-        l = l_s[:, :1]
-        lse = m * LN2 + jnp.log(l)  # -inf when l == 0
-        inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        outp_ref[0, 0, 0] = acc[...] * inv_l
-        lsep_ref[0, 0, 0] = lse
+    jax.lax.fori_loop(t_lo, t_hi, body, 0)
+
+    m = m_s[:, :1]
+    l = l_s[:, :1]
+    lse = m * LN2 + jnp.log(l)  # -inf when the split saw nothing
+    inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
+    if has_descale:
+        inv_l = inv_l * descale_ref[2, b_idx, kh]
+    outp_ref[0, 0, 0] = acc[...] * inv_l
+    lsep_ref[0, 0, 0] = lse
 
 
 @functools.partial(
@@ -171,6 +213,9 @@ def flash_attention_decode(
     cache_batch_idx=None,  # (b,) int32
     cache_leftpad=None,    # (b,) int32
     alibi_slopes=None,     # (b, h)
+    q_descale=None,        # (b, h_k) f32: FP8/INT8 dequant scales
+    k_descale=None,
+    v_descale=None,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[Optional[int], Optional[int]] = (None, None),
@@ -183,32 +228,39 @@ def flash_attention_decode(
     b, sq, h, d = q.shape
     paged = block_table is not None
     if paged:
-        _, h_k, page_size, _ = k_cache.shape
+        num_pages, h_k, page_size, _ = k_cache.shape
         bk = page_size
         max_tiles = block_table.shape[1]
-        s_max = max_tiles * page_size
     else:
         b_c, h_k, s_max, _ = k_cache.shape
-        bk = block_k or min(512, _next_pow2(s_max))
-        max_tiles = pl.cdiv(s_max, bk)
+        # tile must divide s_max exactly: the HBM->VMEM DMA slices may not
+        # overrun the cache allocation
+        bk = block_k or 512
+        while bk > 128 and s_max % bk != 0:
+            bk //= 2
+        if s_max % bk != 0:
+            bk = math.gcd(s_max, bk * 128) if s_max >= 128 else s_max
+            while s_max % bk != 0:
+                bk //= 2
+        max_tiles = s_max // bk
+        num_pages = 1
     dv = v_cache.shape[-1]
     group = h // h_k
+    assert not ((q_descale is not None or k_descale is not None)
+                and softcap > 0.0), "softcap + FP8 descale unsupported"
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
     window_left, window_right = normalize_window(window_size)
 
     rows = sq * group
     rows_pad = max(8, _round_up(rows, 8))
-    # Pack q: (b, sq, h_k, group, d) -> (b, h_k, sq*group, d), row = tok*group+g
     qp = q.reshape(b, sq, h_k, group, d).transpose(0, 2, 1, 3, 4).reshape(
         b, h_k, rows, d
     )
     if rows_pad != rows:
         qp = jnp.pad(qp, ((0, 0), (0, 0), (0, rows_pad - rows), (0, 0)))
 
-    num_kv_tiles = max_tiles
-    num_splits = max(1, min(num_splits, num_kv_tiles))
-    kps = pl.cdiv(num_kv_tiles, num_splits)
+    num_splits = max(1, min(num_splits, max_tiles))
 
     seqlens = cache_seqlens.astype(jnp.int32)
     leftpad = (jnp.zeros((b,), jnp.int32) if cache_leftpad is None
@@ -221,48 +273,46 @@ def flash_attention_decode(
     in_specs = []
     inputs = []
     if alibi_slopes is not None:
-        # packed-row slopes: row r of kv-head kh -> head kh*group + r%group
         r = jnp.arange(rows_pad) % group
-        heads = jnp.arange(h_k)[:, None] * group + jnp.minimum(r, group - 1)[None, :]
-        slopes_packed = alibi_slopes.astype(jnp.float32)[:, heads]  # (b,h_k,rows_pad)
+        heads = (jnp.arange(h_k)[:, None] * group
+                 + jnp.minimum(r, group - 1)[None, :])
+        slopes_packed = alibi_slopes.astype(jnp.float32)[:, heads]
         in_specs.append(pl.BlockSpec(
-            (1, 1, rows_pad, 1), lambda b_, kh, s, j, *_: (b_, kh, 0, 0)))
+            (1, 1, rows_pad, 1), lambda b_, kh, s, *_: (b_, kh, 0, 0)))
         inputs.append(slopes_packed[..., None])
-
-    q_spec = pl.BlockSpec((1, 1, rows_pad, d),
-                          lambda b_, kh, s, j, *_: (b_, kh, 0, 0))
-    if paged:
-        num_pages = k_cache.shape[0]
-
-        def k_map(b_, kh, s, j, seqlens_r, leftpad_r, bidx_r, ptab_r):
-            tile = jnp.minimum(s * kps + j, max_tiles - 1)
-            # Bounds guard (reference paged block_table guard,
-            # csrc/flash_attn/flash_api.cpp:1440): clamp rogue page ids.
-            return (jnp.clip(ptab_r[b_, tile], 0, num_pages - 1), kh, 0, 0)
-        k_spec = pl.BlockSpec((1, 1, bk, d), k_map)
-        v_spec = pl.BlockSpec((1, 1, bk, dv), k_map)
-    else:
-        def k_map(b_, kh, s, j, seqlens_r, leftpad_r, bidx_r, ptab_r):
-            sk = seqlens_r[b_]
-            nvt = (sk + bk - 1) // bk
-            tile = jnp.clip(s * kps + j, 0, jnp.maximum(nvt - 1, 0))
-            return (bidx_r[b_], kh, tile, 0)
-        k_spec = pl.BlockSpec((1, 1, bk, d), k_map)
-        v_spec = pl.BlockSpec((1, 1, bk, dv), k_map)
-    in_specs += [q_spec, k_spec, v_spec]
+    has_descale = (q_descale is not None or k_descale is not None
+                   or v_descale is not None)
+    if has_descale:
+        ones = jnp.ones((b, h_k), jnp.float32)
+        descale = jnp.stack([
+            ones if q_descale is None else q_descale.astype(jnp.float32),
+            ones if k_descale is None else k_descale.astype(jnp.float32),
+            ones if v_descale is None else v_descale.astype(jnp.float32),
+        ])
+        in_specs.append(pl.BlockSpec((3, b, h_k), lambda b_, kh, s, *_: (0, 0, 0),
+                                     memory_space=pltpu.SMEM))
+        inputs.append(descale)
+    in_specs += [
+        pl.BlockSpec((1, 1, rows_pad, d), lambda b_, kh, s, *_: (b_, kh, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),      # k cache stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),      # v cache stays in HBM
+    ]
     inputs += [qp, k_cache, v_cache]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, h_k, num_splits, kps),
+        grid=(b, h_k, num_splits),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, 1, rows_pad, dv),
-                         lambda b_, kh, s, j, *_: (s, b_, kh, 0, 0)),
+                         lambda b_, kh, s, *_: (s, b_, kh, 0, 0)),
             pl.BlockSpec((1, 1, 1, rows_pad, 1),
-                         lambda b_, kh, s, j, *_: (s, b_, kh, 0, 0)),
+                         lambda b_, kh, s, *_: (s, b_, kh, 0, 0)),
         ],
         scratch_shapes=[
+            pltpu.VMEM((2, bk, d), k_cache.dtype),   # K double buffer
+            pltpu.VMEM((2, bk, dv), v_cache.dtype),  # V double buffer
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((rows_pad, dv), jnp.float32),
             pltpu.VMEM((rows_pad, 128), jnp.float32),
             pltpu.VMEM((rows_pad, 128), jnp.float32),
@@ -272,32 +322,35 @@ def flash_attention_decode(
     kernel = functools.partial(
         _decode_kernel,
         block_k=bk, rows_pad=rows_pad, seqlen_q=sq, group=group,
-        kv_tiles_per_split=kps, num_kv_tiles=num_kv_tiles,
+        num_splits=num_splits, max_tiles=max_tiles,
         scale_log2=softmax_scale * LOG2E, softcap=softcap, causal=causal,
         window_left=window_left, window_right=window_right,
-        has_alibi=alibi_slopes is not None, paged=paged,
+        has_alibi=alibi_slopes is not None, paged=paged, num_pages=num_pages,
+        has_descale=has_descale,
     )
 
     outp, lsep = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, dv), jnp.float32),
-            jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, dv),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, 1),
+                                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(seqlens, leftpad, bidx, ptab, *inputs)
 
-    out_p, lse_p = combine_splits(outp, lsep[..., 0])  # (b,h_k,rows_pad,dv),(b,h_k,rows_pad)
+    out_p, lse_p = combine_splits(outp, lsep[..., 0])
     out_p = out_p[:, :, :rows]
     lse_p = lse_p[:, :, :rows]
-    # Unpack rows -> (b, sq, h, dv); row = tok*group + g, head = kh*group + g
+    out_dtype = jnp.bfloat16 if has_descale else q.dtype
     out = out_p.reshape(b, h_k, sq, group, dv).transpose(0, 2, 1, 3, 4).reshape(
         b, sq, h, dv
-    ).astype(q.dtype)
+    ).astype(out_dtype)
     lse = lse_p.reshape(b, h_k, sq, group).transpose(0, 1, 3, 2).reshape(
         b, h, sq
     )

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.config import get_fwd_config, normalize_window
+from flash_attn_tpu.kernels.dropout_rng import dropout_keep
 
 LOG2E = math.log2(math.e)
 LN2 = math.log(2.0)
@@ -56,19 +57,18 @@ def _fwd_kernel(
     sink_token_length: int,
     has_alibi: bool,
     has_sink: bool,
+    dropout_p: float,
+    num_heads: int,
+    group: int,
+    has_descale: bool,
     out_dtype,
 ):
-    if has_alibi and has_sink:
-        slopes_ref, sink_ref, q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
-    elif has_alibi:
-        slopes_ref, q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
-        sink_ref = None
-    elif has_sink:
-        sink_ref, q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
-        slopes_ref = None
-    else:
-        q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
-        slopes_ref = sink_ref = None
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    slopes_ref = refs.pop(0) if has_alibi else None
+    sink_ref = refs.pop(0) if has_sink else None
+    descale_ref = refs.pop(0) if has_descale else None  # (3, b, h_k) SMEM
+    q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
 
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
@@ -102,6 +102,16 @@ def _fwd_kernel(
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]  # (block_k, dv)
+        if has_descale:
+            # FP8 path (reference hopper/flash.h:54-62 q/k/v_descale): MXU
+            # computes in bf16; the per-(batch, kv-head) descale scalars fold
+            # into the softmax scale (qd*kd) and the output (vd).
+            kh = h_idx // group
+            qd = descale_ref[0, b_idx, kh]
+            kd = descale_ref[1, b_idx, kh]
+            q = q.astype(jnp.bfloat16)
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
         if seqlen_k % block_k != 0:
             # Zero padded V rows: the pipeline pads partial boundary blocks
             # with garbage, and 0 (from masked p) * garbage = NaN in the PV
@@ -120,6 +130,11 @@ def _fwd_kernel(
             ) * (scale_log2 / LOG2E)
             s = jnp.tanh(s / softcap) * softcap
             s2 = s * LOG2E
+        elif has_descale:
+            s2 = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale_log2 * qd * kd)
         else:
             qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
             s2 = jax.lax.dot_general(
@@ -179,6 +194,16 @@ def _fwd_kernel(
         row_sum = jnp.sum(p, axis=-1, keepdims=True)
         l_s[...] = l_prev * corr + jnp.broadcast_to(row_sum, l_prev.shape)
         m_s[...] = m_new
+        if dropout_p > 0.0:
+            # normalizer l uses undropped p (reference semantics: lse is
+            # dropout-free); only the PV operand is masked
+            drows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            dcols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_idx,
+                                drows, dcols, dropout_p)
+            p = jnp.where(keep, p, 0.0)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -201,6 +226,10 @@ def _fwd_kernel(
             o = acc[...]
             lse = m * LN2 + jnp.log(l)
         inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if dropout_p > 0.0:
+            inv_l = inv_l / (1.0 - dropout_p)
+        if has_descale:
+            inv_l = inv_l * descale_ref[2, b_idx, h_idx // group]
         out_ref[0, 0] = (o * inv_l).astype(out_dtype)
         lse_ref[0, 0, 0] = lse[:, 0]
 
@@ -231,7 +260,7 @@ def _kv_block_bounds(
     static_argnames=(
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
-        "interpret", "return_lse",
+        "interpret", "return_lse", "dropout_p",
     ),
 )
 def flash_attention_fwd(
@@ -240,6 +269,11 @@ def flash_attention_fwd(
     v,  # (b, h_k, sk, dv)
     alibi_slopes=None,  # (b, h) f32
     learnable_sink=None,  # (h,) logits
+    dropout_p: float = 0.0,
+    dropout_seed=None,  # uint32 scalar array
+    q_descale=None,  # (b, h_k) f32 — FP8 descale
+    k_descale=None,
+    v_descale=None,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[Optional[int], Optional[int]] = (None, None),
@@ -297,6 +331,13 @@ def flash_attention_fwd(
     inputs = []
     # Scalars ride whole in SMEM (Mosaic requires full-array blocks there);
     # kernels index them with program_id.
+    if dropout_p > 0.0:
+        assert dropout_seed is not None, "dropout needs a seed"
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda b_, h_, i, j: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        inputs.append(jnp.asarray(dropout_seed, jnp.uint32).reshape(1, 1))
     if alibi_slopes is not None:
         in_specs.append(
             pl.BlockSpec((b, h), lambda b_, h_, i, j: (0, 0),
@@ -309,6 +350,19 @@ def flash_attention_fwd(
                          memory_space=pltpu.SMEM)
         )
         inputs.append(learnable_sink.reshape(1, h).astype(jnp.float32))
+    has_descale = q_descale is not None
+    if has_descale:
+        ones = jnp.ones((b, h_k), jnp.float32)
+        descale = jnp.stack([
+            ones if q_descale is None else q_descale.astype(jnp.float32),
+            ones if k_descale is None else k_descale.astype(jnp.float32),
+            ones if v_descale is None else v_descale.astype(jnp.float32),
+        ])
+        in_specs.append(
+            pl.BlockSpec((3, b, h_k), lambda b_, h_, i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        inputs.append(descale)
     in_specs += [q_spec, k_spec, v_spec]
     inputs += [q, k, v]
 
@@ -328,7 +382,11 @@ def flash_attention_fwd(
         sink_token_length=sink_token_length,
         has_alibi=alibi_slopes is not None,
         has_sink=learnable_sink is not None,
-        out_dtype=q.dtype,
+        dropout_p=dropout_p,
+        num_heads=h,
+        group=group,
+        has_descale=has_descale,
+        out_dtype=jnp.bfloat16 if has_descale else q.dtype,
     )
 
     out, lse = pl.pallas_call(
@@ -337,7 +395,8 @@ def flash_attention_fwd(
         in_specs=in_specs,
         out_specs=[out_spec, lse_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq, dv), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, dv),
+                                 jnp.bfloat16 if has_descale else q.dtype),
             jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
         ],
         scratch_shapes=[

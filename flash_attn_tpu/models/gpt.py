@@ -39,6 +39,9 @@ class GPTConfig:
     rotary_emb_interleaved: bool = False
     use_rms_norm: bool = False
     glu_act: bool = False        # gated (SwiGLU) MLP
+    qkv_proj_bias: bool = True
+    out_proj_bias: bool = True
+    mlp_bias: bool = True
     parallel_block: bool = False
     use_alibi: bool = False
     window_size: Tuple[int, int] = (-1, -1)
@@ -83,6 +86,8 @@ def _mixer_factory(cfg: GPTConfig):
         embed_dim=cfg.n_embd,
         num_heads=cfg.n_head,
         num_heads_kv=cfg.n_head_kv,
+        qkv_proj_bias=cfg.qkv_proj_bias,
+        out_proj_bias=cfg.out_proj_bias,
         causal=True,
         rotary_emb_dim=rotary_dim,
         rotary_emb_base=cfg.rotary_emb_base,
@@ -97,11 +102,17 @@ def _mixer_factory(cfg: GPTConfig):
 
 
 def _mlp_factory(cfg: GPTConfig):
-    inner = cfg.n_inner or 4 * cfg.n_embd
     if cfg.glu_act:
-        return lambda: GatedMlp(hidden_features=inner * 2 // 3,
+        # n_inner is the exact gated hidden width when given (llama's
+        # intermediate_size); default follows the reference 8/3 rule.
+        inner = cfg.n_inner or (4 * cfg.n_embd * 2 // 3)
+        mult = 1 if cfg.n_inner is not None else 128
+        return lambda: GatedMlp(hidden_features=inner, bias1=cfg.mlp_bias,
+                                bias2=cfg.mlp_bias, multiple_of=mult,
                                 dtype=cfg.dtype, name="mlp")
-    return lambda: Mlp(inner, dtype=cfg.dtype, name="mlp")
+    inner = cfg.n_inner or 4 * cfg.n_embd
+    return lambda: Mlp(inner, bias1=cfg.mlp_bias, bias2=cfg.mlp_bias,
+                       dtype=cfg.dtype, name="mlp")
 
 
 class GPTModel(nn.Module):

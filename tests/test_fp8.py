@@ -1,0 +1,95 @@
+"""FP8 forward + quantized KV-cache decode tests.
+
+Contract mirrors the reference (hopper/test_flash_attn.py:184-256): FP8 run
+is compared against the bf16 reference computed on dequantized inputs, with
+random per-(batch, kv_head) descale in [0, 2); tolerance is looser (fp8
+mantissa) but bounded vs the fp8-precision reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_func, flash_attn_with_kvcache
+from flash_attn_tpu.utils.testing import attention_ref, check_against_ref
+
+FP8 = jnp.float8_e4m3fn
+
+
+def _quantize(x, descale):
+    """x fp32 (b,s,h_k,d), descale (b,h_k): x_fp8 = x / descale."""
+    return (x / descale[:, None, :, None]).astype(FP8)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fp8_fwd_vs_bf16(causal):
+    b, s, h, d = 2, 256, 4, 128
+    key = jax.random.PRNGKey(0)
+    q32 = jax.random.normal(key, (b, s, h, d))
+    k32 = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d))
+    v32 = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d))
+    qd = jax.random.uniform(jax.random.PRNGKey(3), (b, h)) * 2
+    kd = jax.random.uniform(jax.random.PRNGKey(4), (b, h)) * 2
+    vd = jax.random.uniform(jax.random.PRNGKey(5), (b, h)) * 2
+
+    q8 = _quantize(q32, qd)
+    k8 = _quantize(k32, kd)
+    v8 = _quantize(v32, vd)
+
+    out = flash_attn_func(q8, k8, v8, causal=causal,
+                          q_descale=qd, k_descale=kd, v_descale=vd)
+    assert out.dtype == jnp.bfloat16
+
+    # golden: dequantized fp8 values through the fp32 reference
+    qq = q8.astype(jnp.float32) * qd[:, None, :, None]
+    kk = k8.astype(jnp.float32) * kd[:, None, :, None]
+    vv = v8.astype(jnp.float32) * vd[:, None, :, None]
+    ref, _ = attention_ref(qq, kk, vv, causal=causal)
+    # low-precision comparator: bf16 reference on the same dequant values
+    ref_lp, _ = attention_ref(qq.astype(jnp.bfloat16), kk.astype(jnp.bfloat16),
+                              vv.astype(jnp.bfloat16), causal=causal,
+                              upcast=False, reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, mult=4.0, atol=5e-3,
+                      msg=f"fp8 fwd causal={causal}")
+
+
+@pytest.mark.parametrize("cache_dtype", ["fp8", "int8"])
+def test_quantized_kvcache_decode(cache_dtype):
+    b, h, h_k, d, s_max = 2, 8, 2, 128, 512
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d)).astype(jnp.bfloat16)
+    kc32 = jax.random.normal(jax.random.PRNGKey(1), (b, h_k, s_max, d))
+    vc32 = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s_max, d))
+    cache_seqlens = jnp.array([500, 257], jnp.int32)
+
+    if cache_dtype == "fp8":
+        kd = jnp.full((b, h_k), 1.5, jnp.float32)
+        vd = jnp.full((b, h_k), 0.75, jnp.float32)
+        kc = (kc32 / kd[:, :, None, None]).astype(FP8)
+        vc = (vc32 / vd[:, :, None, None]).astype(FP8)
+        deq_k = kc.astype(jnp.float32) * kd[:, :, None, None]
+        deq_v = vc.astype(jnp.float32) * vd[:, :, None, None]
+    else:
+        kd = jnp.abs(kc32).max(axis=(2, 3)) / 127.0
+        vd = jnp.abs(vc32).max(axis=(2, 3)) / 127.0
+        kc = jnp.clip(jnp.round(kc32 / kd[:, :, None, None]), -127, 127
+                      ).astype(jnp.int8)
+        vc = jnp.clip(jnp.round(vc32 / vd[:, :, None, None]), -127, 127
+                      ).astype(jnp.int8)
+        deq_k = kc.astype(jnp.float32) * kd[:, :, None, None]
+        deq_v = vc.astype(jnp.float32) * vd[:, :, None, None]
+
+    out = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=cache_seqlens, causal=True,
+        k_descale=kd, v_descale=vd,
+    )
+    kmask = jnp.arange(s_max)[None, :] < cache_seqlens[:, None]
+    ref, _ = attention_ref(
+        q.astype(jnp.float32), jnp.swapaxes(deq_k, 1, 2),
+        jnp.swapaxes(deq_v, 1, 2), None, kmask, causal=True)
+    ref_lp, _ = attention_ref(
+        q, jnp.swapaxes(deq_k, 1, 2).astype(jnp.bfloat16),
+        jnp.swapaxes(deq_v, 1, 2).astype(jnp.bfloat16), None, kmask,
+        causal=True, upcast=False, reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, mult=4.0, atol=5e-3,
+                      msg=f"{cache_dtype} kvcache")
