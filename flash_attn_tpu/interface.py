@@ -134,6 +134,7 @@ def flash_attn_func(
     q_descale=None,  # (b, h_k) — FP8 forward (inference only, no grad)
     k_descale=None,
     v_descale=None,
+    qv=None,  # (b, sq, h, dv) — MLA extra query term (inference only)
 ):
     """Drop-in analogue of the reference ``flash_attn_func``
     (flash_attn/flash_attn_interface.py:1156).
@@ -155,18 +156,22 @@ def flash_attn_func(
                 "has no global RNG state")
         dropout_seed = jax.random.bits(dropout_rng, dtype=jnp.uint32)
     if softmax_scale is None:
-        softmax_scale = 1.0 / math.sqrt(q.shape[-1])
+        softmax_scale = 1.0 / math.sqrt(
+            q.shape[-1] if qv is None else q.shape[-1] + v.shape[-1])
     window_size = normalize_window(tuple(window_size))
     if alibi_slopes is not None and alibi_slopes.ndim == 1:
         alibi_slopes = jnp.broadcast_to(
             alibi_slopes[None], (q.shape[0], alibi_slopes.shape[0])
         )
-    if q_descale is not None or k_descale is not None or v_descale is not None:
-        # FP8 forward path (no backward, matching the reference's fp8 support)
+    if (q_descale is not None or k_descale is not None
+            or v_descale is not None or qv is not None):
+        # FP8 / MLA-qv forward path (no backward, matching the reference's
+        # fp8-fwd-only support; MLA bwd uses the separate sparse path)
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
         out_t, lse = flash_attention_fwd(
             qt, kt, vt, alibi_slopes=alibi_slopes,
             learnable_sink=learnable_sink,
+            qv=None if qv is None else jnp.swapaxes(qv, 1, 2),
             q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
             softmax_scale=softmax_scale, causal=causal,
             window_size=window_size, softcap=softcap,

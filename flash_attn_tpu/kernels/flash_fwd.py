@@ -61,6 +61,7 @@ def _fwd_kernel(
     num_heads: int,
     group: int,
     has_descale: bool,
+    has_qv: bool,
     out_dtype,
 ):
     refs = list(refs)
@@ -68,6 +69,7 @@ def _fwd_kernel(
     slopes_ref = refs.pop(0) if has_alibi else None
     sink_ref = refs.pop(0) if has_sink else None
     descale_ref = refs.pop(0) if has_descale else None  # (3, b, h_k) SMEM
+    qv_ref = refs.pop(0) if has_qv else None  # (1,1,bq,dv) extra query
     q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
 
     b_idx = pl.program_id(0)
@@ -139,6 +141,15 @@ def _fwd_kernel(
             qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
             s2 = jax.lax.dot_general(
                 qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if has_qv:
+            # MLA qv term (reference flash_attn/cute/interface.py:3471):
+            # scores += scale * qv . v
+            qvs = (qv_ref[0, 0].astype(jnp.float32) * scale_log2
+                   ).astype(v.dtype)
+            s2 = s2 + jax.lax.dot_general(
+                qvs, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -269,6 +280,7 @@ def flash_attention_fwd(
     v,  # (b, h_k, sk, dv)
     alibi_slopes=None,  # (b, h) f32
     learnable_sink=None,  # (h,) logits
+    qv=None,  # (b, h, sq, dv) MLA extra query against V
     dropout_p: float = 0.0,
     dropout_seed=None,  # uint32 scalar array
     q_descale=None,  # (b, h_k) f32 — FP8 descale
@@ -295,7 +307,7 @@ def flash_attention_fwd(
     dv = v.shape[-1]
     assert h % h_k == 0, (h, h_k)
     if softmax_scale is None:
-        softmax_scale = 1.0 / math.sqrt(d)
+        softmax_scale = 1.0 / math.sqrt(d if qv is None else d + dv)
     window_left, window_right = normalize_window(window_size)
 
     cfg = get_fwd_config(d, dv, sq, sk, causal)
@@ -363,6 +375,10 @@ def flash_attention_fwd(
                          memory_space=pltpu.SMEM)
         )
         inputs.append(descale)
+    if qv is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bq, dv), lambda b_, h_, i, j: (b_, h_, i, 0)))
+        inputs.append(qv)
     in_specs += [q_spec, k_spec, v_spec]
     inputs += [q, k, v]
 
@@ -386,6 +402,7 @@ def flash_attention_fwd(
         num_heads=h,
         group=group,
         has_descale=has_descale,
+        has_qv=qv is not None,
         out_dtype=jnp.bfloat16 if has_descale else q.dtype,
     )
 

@@ -1,0 +1,213 @@
+"""Training harness: sharded train step, optimizer, checkpoint/resume,
+observability callbacks.
+
+Parity surface for the reference training stack (training/run.py Hydra →
+Lightning ``SequenceModel``, training/src/tasks/seq.py:20), TPU-native:
+ - one jitted train step over a (data, model) mesh — DP+TP from sharding
+   alone (the reference's DDP + Megatron modules);
+ - ZeRO-1-style optimizer-state sharding (training/src/utils/ddp_zero1.py):
+   Adam moments are sharded over the data axis by annotating their pytree
+   with a data-axis sharding, so each data-parallel group holds 1/dp of the
+   optimizer state;
+ - fault tolerance (training/src/callbacks/model_checkpoint.py:14
+   fault_tolerant=True): checkpoint includes the data-sampler RNG+counter
+   state and saves on exception; resume is exact-batch;
+ - observability: tokens/s + MFU (speed_monitor.py / flop_count.py),
+   grad/param norms (norm_monitor.py).
+"""
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+from flash_attn_tpu.ops.cross_entropy import cross_entropy_loss
+from flash_attn_tpu.parallel.mesh import make_mesh
+from flash_attn_tpu.parallel.sharding import gpt_param_sharding
+
+__all__ = ["TrainConfig", "Trainer"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: GPTConfig = dataclasses.field(default_factory=GPTConfig)
+    batch_size: int = 8
+    seqlen: int = 1024
+    lr: float = 3e-4
+    weight_decay: float = 0.1
+    warmup_steps: int = 100
+    total_steps: int = 1000
+    grad_clip: float = 1.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.95
+    data_parallel: int = 1
+    model_parallel: int = 1
+    zero1: bool = True
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 500
+    log_every: int = 10
+    seed: int = 0
+
+
+def model_flops_per_token(cfg: GPTConfig, seqlen: int) -> float:
+    """6*N + attention flops (the reference's flop_count.py MFU recipe)."""
+    n_params = (
+        cfg.n_layer * (
+            # qkv + out proj
+            cfg.n_embd * (cfg.n_embd + 2 * (cfg.n_head_kv or cfg.n_head)
+                          * (cfg.n_embd // cfg.n_head))
+            + cfg.n_embd * cfg.n_embd
+            # mlp
+            + (3 if cfg.glu_act else 2) * cfg.n_embd
+            * (cfg.n_inner or 4 * cfg.n_embd)
+        )
+        + cfg.vocab_size * cfg.n_embd
+    )
+    attn = 12 * cfg.n_layer * cfg.n_embd * seqlen / 2  # causal
+    return 6 * n_params + attn
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.mesh = make_mesh(data=cfg.data_parallel, model=cfg.model_parallel)
+        self.model = GPTLMHeadModel(cfg.model)
+        self.step_count = 0
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.lr * 0.1)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                        weight_decay=cfg.weight_decay),
+        )
+
+        ids = jnp.zeros((2, cfg.seqlen), jnp.int32)
+        params = self.model.init(jax.random.PRNGKey(cfg.seed), ids)["params"]
+        with jax.set_mesh(self.mesh):
+            shardings = gpt_param_sharding(params, self.mesh)
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, params, shardings)
+            self.opt_state = self.tx.init(self.params)
+            if cfg.zero1 and cfg.data_parallel > 1:
+                self.opt_state = jax.tree_util.tree_map(
+                    self._zero1_put, self.opt_state)
+
+        model = self.model
+
+        def train_step(params, opt_state, input_ids, labels):
+            def loss_fn(p):
+                logits = model.apply({"params": p}, input_ids)
+                return cross_entropy_loss(logits, labels)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            return params, opt_state, loss, gnorm
+
+        self._step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _zero1_put(self, x):
+        """Shard optimizer moments over the data axis (ZeRO-1): first axis
+        divisible by dp gets split; small tensors stay replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        dp = self.cfg.data_parallel
+        for axis, dim in enumerate(x.shape):
+            if dim % dp == 0 and dim >= dp:
+                spec = [None] * x.ndim
+                spec[axis] = "data"
+                return jax.device_put(
+                    x, NamedSharding(self.mesh, P(*spec)))
+        return x
+
+    # ------------------------------------------------------------------
+    def fit(self, dataloader, steps: Optional[int] = None,
+            log_fn: Callable[[Dict[str, Any]], None] = None):
+        cfg = self.cfg
+        steps = steps or cfg.total_steps
+        log_fn = log_fn or (lambda m: print(json.dumps(m), flush=True))
+        flops_per_token = model_flops_per_token(cfg.model, cfg.seqlen)
+        tokens_per_step = cfg.batch_size * cfg.seqlen
+        it = iter(dataloader)
+        t_last = time.perf_counter()
+        try:
+            with jax.set_mesh(self.mesh):
+                for _ in range(steps):
+                    inp, lab = next(it)
+                    self.params, self.opt_state, loss, gnorm = self._step(
+                        self.params, self.opt_state,
+                        jnp.asarray(inp), jnp.asarray(lab))
+                    self.step_count += 1
+                    if self.step_count % cfg.log_every == 0:
+                        loss_v = float(loss)
+                        now = time.perf_counter()
+                        dt = (now - t_last) / cfg.log_every
+                        t_last = now
+                        tps = tokens_per_step / dt
+                        log_fn({
+                            "step": self.step_count,
+                            "loss": round(loss_v, 4),
+                            "grad_norm": round(float(gnorm), 4),
+                            "tokens_per_s": round(tps, 1),
+                            "tflops_per_s": round(
+                                tps * flops_per_token / 1e12, 2),
+                        })
+                    if (cfg.ckpt_dir
+                            and self.step_count % cfg.ckpt_every == 0):
+                        self.save_checkpoint(dataloader)
+        except Exception:
+            # fault-tolerant save-on-exception (reference
+            # model_checkpoint.py:14)
+            if cfg.ckpt_dir:
+                self.save_checkpoint(dataloader, tag="crash")
+            raise
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, dataloader=None, tag: Optional[str] = None):
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(
+            os.path.abspath(self.cfg.ckpt_dir),
+            tag or f"step_{self.step_count}")
+        ckptr = ocp.StandardCheckpointer()
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+        }
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+        meta = {"step": self.step_count}
+        if dataloader is not None and hasattr(dataloader, "state_dict"):
+            meta["sampler"] = dataloader.state_dict()
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+        return path
+
+    def load_checkpoint(self, path: str, dataloader=None):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.params, "opt_state": self.opt_state}
+        state = ckptr.restore(path, target)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+        self.step_count = int(meta["step"])
+        if dataloader is not None and "sampler" in meta:
+            dataloader.load_state_dict(meta["sampler"])

@@ -1,0 +1,74 @@
+"""MLA-shaped attention tests: hdim_qk != hdim_v, the qv extra-query term
+(reference flash_attn/cute/interface.py:3471-3478 semantics), and the
+DeepSeek absorbed decode shape (qk 576 / v 512, MQA)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_func, flash_attn_with_kvcache
+from flash_attn_tpu.utils.testing import attention_ref, check_against_ref
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_hdim_qk_ne_hdim_v(causal):
+    """hdim_qk 192, hdim_v 128 (FA3 MLA training shape)."""
+    b, s, h = 2, 256, 4
+    d, dv = 192, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, dv)).astype(jnp.bfloat16)
+
+    out = flash_attn_func(q, k, v, causal=causal)
+    assert out.shape == (b, s, h, dv)
+    ref, _ = attention_ref(q, k, v, causal=causal)
+    ref_lp, _ = attention_ref(q, k, v, causal=causal, upcast=False,
+                              reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg=f"mla dims causal={causal}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_qv_term(causal):
+    b, s, h = 2, 192, 2
+    d, dv = 64, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, dv)).astype(jnp.bfloat16)
+    qv = jax.random.normal(jax.random.PRNGKey(3), (b, s, h, dv)).astype(jnp.bfloat16)
+
+    out = flash_attn_func(q, k, v, causal=causal, qv=qv)
+    ref, _ = attention_ref(q, k, v, causal=causal, qv=qv)
+    ref_lp, _ = attention_ref(q, k, v, causal=causal, qv=qv, upcast=False,
+                              reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg=f"qv causal={causal}")
+
+
+def test_mla_absorbed_decode():
+    """DeepSeek absorbed decode: qk 576 = 512 latent + 64 rope, v 512, MQA
+    with many q heads (reference hopper/benchmark_mla_decode.py shapes,
+    scaled down)."""
+    b, h, h_k = 2, 16, 1
+    d, dv, s_max = 576, 512, 1024
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d)).astype(jnp.bfloat16)
+    kc = jax.random.normal(jax.random.PRNGKey(1), (b, h_k, s_max, d)).astype(jnp.bfloat16)
+    # V is the first 512 dims of the same latent cache (absorbed layout)
+    vc = kc[..., :dv]
+    cache_seqlens = jnp.array([1000, 333], jnp.int32)
+
+    out, lse = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=cache_seqlens, causal=True,
+        softmax_scale=1.0 / np.sqrt(d), return_softmax_lse=True,
+    )
+    assert out.shape == (b, 1, h, dv)
+
+    kmask = jnp.arange(s_max)[None, :] < cache_seqlens[:, None]
+    ref, _ = attention_ref(
+        q.astype(jnp.float32), jnp.swapaxes(kc, 1, 2).astype(jnp.float32),
+        jnp.swapaxes(vc, 1, 2).astype(jnp.float32), None, kmask, causal=True,
+        softmax_scale=1.0 / np.sqrt(d))
+    ref_lp, _ = attention_ref(
+        q, jnp.swapaxes(kc, 1, 2), jnp.swapaxes(vc, 1, 2), None, kmask,
+        causal=True, softmax_scale=1.0 / np.sqrt(d), upcast=False,
+        reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg="mla decode")

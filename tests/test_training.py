@@ -1,0 +1,103 @@
+"""Training harness tests: native loader, fault-tolerant sampler resume,
+end-to-end train steps with checkpoint/resume on a DP x TP mesh."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.models.gpt import GPTConfig
+from flash_attn_tpu.training.data import (
+    FaultTolerantSampler,
+    LMDataLoader,
+    TokenDataset,
+)
+from flash_attn_tpu.training.trainer import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def token_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "tokens.bin"
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 100, size=50_000, dtype=np.uint16)
+    tokens.tofile(path)
+    return str(path)
+
+
+def test_native_loader_matches_numpy(token_file):
+    ds = TokenDataset(token_file, seqlen=128)
+    idx = np.array([0, 5, 17, 42])
+    batch = ds.batch(idx)
+    assert batch.shape == (4, 129)
+    for i, s in enumerate(idx):
+        np.testing.assert_array_equal(
+            batch[i], ds.tokens[s * 128:(s + 1) * 128 + 1])
+    # the native path must actually be in use on this machine (g++ baked in)
+    assert ds._native is not None, "native loader failed to build"
+
+
+def test_native_loader_bounds_guard(token_file):
+    from flash_attn_tpu.csrc import native_loader
+    ds = TokenDataset(token_file, seqlen=128)
+    if ds._native is None:
+        pytest.skip("native loader unavailable")
+    with pytest.raises(IndexError):
+        native_loader.fill_batch(
+            ds._native, np.array([10**9]), 129, np.uint16)
+
+
+def test_sampler_exact_resume(token_file):
+    ds = TokenDataset(token_file, seqlen=128)
+    s1 = FaultTolerantSampler(len(ds), seed=3)
+    a = s1.next_indices(10)
+    state = s1.state_dict()
+    b = s1.next_indices(10)
+
+    s2 = FaultTolerantSampler(len(ds), seed=3)
+    s2.load_state_dict(state)
+    b2 = s2.next_indices(10)
+    np.testing.assert_array_equal(b, b2)
+    # epoch rollover keeps producing unique permutations
+    s1.next_indices(len(ds))
+    assert s1.epoch >= 1
+
+
+def test_train_steps_and_resume(tmp_path, token_file):
+    cfg = TrainConfig(
+        model=GPTConfig(
+            vocab_size=128, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+            rotary_emb_fraction=1.0, use_rms_norm=True, glu_act=True,
+            max_decode_seqlen=64, dtype=jnp.float32,
+        ),
+        batch_size=4, seqlen=128, lr=1e-3, warmup_steps=2, total_steps=20,
+        data_parallel=2, model_parallel=4, zero1=True,
+        ckpt_dir=str(tmp_path), ckpt_every=1000, log_every=5,
+    )
+    ds = TokenDataset(token_file, seqlen=cfg.seqlen)
+    loader = LMDataLoader(ds, cfg.batch_size)
+    trainer = Trainer(cfg)
+
+    logs = []
+    trainer.fit(loader, steps=10, log_fn=logs.append)
+    assert trainer.step_count == 10
+    assert len(logs) == 2
+    losses = [l["loss"] for l in logs]
+    assert all(np.isfinite(losses))
+
+    path = trainer.save_checkpoint(loader)
+    # fresh trainer resumes exactly
+    trainer2 = Trainer(cfg)
+    loader2 = LMDataLoader(ds, cfg.batch_size)
+    trainer2.load_checkpoint(path, loader2)
+    assert trainer2.step_count == 10
+    assert loader2.state_dict() == loader.state_dict()
+
+    # next step produces identical loss from the same data stream
+    trainer.fit(loader, steps=5, log_fn=logs.append)
+    trainer2.fit(loader2, steps=5, log_fn=logs.append)
+    p1 = jax.tree_util.tree_leaves(trainer.params)[0]
+    p2 = jax.tree_util.tree_leaves(trainer2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
