@@ -59,11 +59,10 @@ def bench_fn(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
+def bench_fwd(peak):
     from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 
     b, h, s, d = 4, 16, 8192, 128
-    causal = False
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (b, h, s, d), jnp.bfloat16)
@@ -71,21 +70,72 @@ def main():
     v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
 
     fn = jax.jit(lambda q, k, v: flash_attention_fwd(
-        q, k, v, causal=causal, return_lse=True)[0])
+        q, k, v, causal=False, return_lse=True)[0])
     t = bench_fn(fn, q, k, v)
+    flops = 4.0 * b * h * s * s * d
+    return flops / t / 1e12, t
 
-    flops = 4.0 * b * h * s * s * d / (2 if causal else 1)
-    tflops = flops / t / 1e12
+
+def bench_bwd(peak):
+    from flash_attn_tpu import flash_attn_func
+
+    b, s, h, d = 4, 4096, 16, 128
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, s, h, d), jnp.bfloat16)
+
+    g = jax.jit(jax.grad(
+        lambda q, k, v: flash_attn_func(q, k, v, causal=True)
+        .astype(jnp.float32).sum(), argnums=(0, 1, 2)))
+    t = bench_fn(lambda q, k, v: g(q, k, v)[0], q, k, v)
+    # reference convention: bwd flops = 2.5x fwd (hopper/benchmark_attn.py)
+    flops = 2.5 * 4.0 * b * h * s * s * d / 2
+    return flops / t / 1e12, t
+
+
+def bench_decode_fp8_paged():
+    from flash_attn_tpu import flash_attn_with_kvcache
+
+    FP8 = jnp.float8_e4m3fn
+    b, h, h_k, d = 64, 32, 8, 128
+    page_size, ctx = 256, 8192
+    ppseq = ctx // page_size
+    num_pages = b * ppseq
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d), jnp.bfloat16)
+    kp = jax.random.normal(
+        jax.random.PRNGKey(1), (num_pages, h_k, page_size, d)).astype(FP8)
+    vp = jax.random.normal(
+        jax.random.PRNGKey(2), (num_pages, h_k, page_size, d)).astype(FP8)
+    table = jnp.arange(num_pages, dtype=jnp.int32).reshape(b, ppseq)
+    seqlens = jnp.full((b,), ctx - 1, jnp.int32)
+    kd = jnp.ones((b, h_k), jnp.float32)
+    vd = jnp.ones((b, h_k), jnp.float32)
+
+    fn = jax.jit(lambda q: flash_attn_with_kvcache(
+        q, kp, vp, cache_seqlens=seqlens, block_table=table, causal=True,
+        k_descale=kd, v_descale=vd))
+    t = bench_fn(fn, q)
+    return b / t, t  # attention-step tokens/s (one token per sequence)
+
+
+def main():
     peak = detect_peak_tflops()
-    frac = tflops / peak
+    fwd_tf, fwd_t = bench_fwd(peak)
+    bwd_tf, bwd_t = bench_bwd(peak)
+    dec_tps, dec_t = bench_decode_fp8_paged()
+    frac = fwd_tf / peak
     result = {
         "metric": "attn_fwd_bf16_hdim128_seq8k_tflops",
-        "value": round(tflops, 2),
+        "value": round(fwd_tf, 2),
         "unit": "TFLOPs/s",
         "vs_baseline": round(frac / 0.70, 4),
         "sol_fraction": round(frac, 4),
         "peak_tflops": peak,
-        "median_ms": round(t * 1e3, 3),
+        "fwd_ms": round(fwd_t * 1e3, 3),
+        "bwd_tflops": round(bwd_tf, 2),
+        "decode_fp8_paged_tokens_per_s_8k_ctx": round(dec_tps, 1),
+        "decode_step_ms": round(dec_t * 1e3, 3),
     }
     print(json.dumps(result))
 

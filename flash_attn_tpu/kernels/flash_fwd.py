@@ -62,6 +62,8 @@ def _fwd_kernel(
     group: int,
     has_descale: bool,
     has_qv: bool,
+    score_mod,
+    mask_mod,
     out_dtype,
 ):
     refs = list(refs)
@@ -97,6 +99,7 @@ def _fwd_kernel(
         or window_left is not None
         or attention_chunk > 0
         or (seqlen_k % block_k != 0)
+        or mask_mod is not None
     )
 
     @pl.when(should_run)
@@ -152,6 +155,16 @@ def _fwd_kernel(
                 qvs, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        if score_mod is not None:
+            # flex-attention-style user score modification on natural-scale
+            # scores (reference flash_attn/cute/interface.py score_mod +
+            # softmax.py:20 call_score_mod); traced & inlined into the kernel
+            srows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            scols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s_nat = s2 * (1.0 / LOG2E)
+            s2 = score_mod(s_nat, b_idx, h_idx, srows, scols) * LOG2E
 
         if has_alibi:
             slope = slopes_ref[b_idx, h_idx]
@@ -168,31 +181,54 @@ def _fwd_kernel(
             s2 = s2 + slope * LOG2E * bias
 
         if needs_col_mask:
-            rows = i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            cols = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            valid = jnp.ones((block_q, block_k), dtype=jnp.bool_)
-            wr = 0 if causal else window_right
-            if causal or wr is not None:
-                valid = jnp.logical_and(valid, cols <= rows + shift + wr)
-            if window_left is not None:
-                in_window = cols >= rows + shift - window_left
-                if sink_token_length > 0:
-                    in_window = jnp.logical_or(in_window, cols < sink_token_length)
-                valid = jnp.logical_and(valid, in_window)
-            if attention_chunk > 0:
-                rs = rows + shift
-                limit = rs - rs % attention_chunk
-                valid = jnp.logical_and(
-                    valid,
-                    jnp.logical_and(cols >= limit, cols < limit + attention_chunk),
+            def _apply_mask(s2):
+                rows = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
                 )
-            if seqlen_k % block_k != 0:
-                valid = jnp.logical_and(valid, cols < seqlen_k)
-            s2 = jnp.where(valid, s2, NEG_INF)
+                cols = j * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
+                valid = jnp.ones((block_q, block_k), dtype=jnp.bool_)
+                wr = 0 if causal else window_right
+                if causal or wr is not None:
+                    valid = jnp.logical_and(valid, cols <= rows + shift + wr)
+                if window_left is not None:
+                    in_window = cols >= rows + shift - window_left
+                    if sink_token_length > 0:
+                        in_window = jnp.logical_or(
+                            in_window, cols < sink_token_length)
+                    valid = jnp.logical_and(valid, in_window)
+                if attention_chunk > 0:
+                    rs = rows + shift
+                    limit = rs - rs % attention_chunk
+                    valid = jnp.logical_and(
+                        valid,
+                        jnp.logical_and(cols >= limit,
+                                        cols < limit + attention_chunk),
+                    )
+                if seqlen_k % block_k != 0:
+                    valid = jnp.logical_and(valid, cols < seqlen_k)
+                if mask_mod is not None:
+                    # user mask: True = keep (reference mask_mod composition,
+                    # flash_attn/cute/mask.py:159)
+                    valid = jnp.logical_and(
+                        valid, mask_mod(b_idx, h_idx, rows, cols))
+                return jnp.where(valid, s2, NEG_INF)
+
+            causal_only = (
+                causal and window_left is None and attention_chunk == 0
+                and sink_token_length == 0 and mask_mod is None
+                and seqlen_k % block_k == 0
+            )
+            if causal_only:
+                # interior blocks (fully below the diagonal) skip the mask
+                # build — the analogue of the reference's Is_causal
+                # full-block fast path (mask.h unmasked iterations)
+                crosses_diag = (j * block_k + block_k - 1) > (
+                    i * block_q + shift)
+                s2 = jax.lax.cond(crosses_diag, _apply_mask, lambda x: x, s2)
+            else:
+                s2 = _apply_mask(s2)
 
         m_prev = m_s[...]  # (block_q, 128), lane-replicated
         l_prev = l_s[...]
@@ -271,7 +307,7 @@ def _kv_block_bounds(
     static_argnames=(
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
-        "interpret", "return_lse", "dropout_p",
+        "interpret", "return_lse", "dropout_p", "score_mod", "mask_mod",
     ),
 )
 def flash_attention_fwd(
@@ -294,6 +330,8 @@ def flash_attention_fwd(
     sink_token_length: int = 0,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    score_mod=None,  # fn(scores, b, h, rows, cols) -> scores, natural scale
+    mask_mod=None,   # fn(b, h, rows, cols) -> bool keep
     interpret: bool = False,
     return_lse: bool = True,
 ):
@@ -403,6 +441,8 @@ def flash_attention_fwd(
         group=group,
         has_descale=has_descale,
         has_qv=qv is not None,
+        score_mod=score_mod,
+        mask_mod=mask_mod,
         out_dtype=jnp.bfloat16 if has_descale else q.dtype,
     )
 

@@ -39,6 +39,8 @@ class GPTConfig:
     rotary_emb_interleaved: bool = False
     use_rms_norm: bool = False
     glu_act: bool = False        # gated (SwiGLU) MLP
+    activation: str = "gelu_approx"  # gelu_approx | gelu | relu | sqrelu
+    parallel_block_tied_norm: bool = True
     qkv_proj_bias: bool = True
     out_proj_bias: bool = True
     mlp_bias: bool = True
@@ -111,8 +113,16 @@ def _mlp_factory(cfg: GPTConfig):
                                 bias2=cfg.mlp_bias, multiple_of=mult,
                                 dtype=cfg.dtype, name="mlp")
     inner = cfg.n_inner or 4 * cfg.n_embd
-    return lambda: Mlp(inner, bias1=cfg.mlp_bias, bias2=cfg.mlp_bias,
-                       dtype=cfg.dtype, name="mlp")
+    import jax.nn
+    from flash_attn_tpu.ops.activations import gelu_approx, sqrelu
+    act = {
+        "gelu_approx": gelu_approx,
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "relu": jax.nn.relu,
+        "sqrelu": sqrelu,
+    }[cfg.activation]
+    return lambda: Mlp(inner, activation=act, bias1=cfg.mlp_bias,
+                       bias2=cfg.mlp_bias, dtype=cfg.dtype, name="mlp")
 
 
 class GPTModel(nn.Module):
@@ -128,6 +138,7 @@ class GPTModel(nn.Module):
                 ParallelBlock(
                     mixer=mixer, mlp=mlp, resid_dropout=cfg.resid_dropout,
                     use_rms_norm=cfg.use_rms_norm,
+                    tied_norm=cfg.parallel_block_tied_norm,
                     norm_epsilon=cfg.norm_epsilon, dtype=cfg.dtype,
                 ) for _ in range(cfg.n_layer)
             ]
@@ -148,7 +159,7 @@ class GPTModel(nn.Module):
                 "ln_f_bias", nn.initializers.zeros, (cfg.n_embd,), jnp.float32)
 
     def __call__(self, input_ids, position_ids=None, mode: str = "train",
-                 deterministic: bool = True):
+                 deterministic: bool = True, **mixer_kwargs):
         cfg = self.config
         hidden = self.embeddings(input_ids, position_ids)
         if cfg.embd_dropout > 0 and not deterministic:
@@ -157,7 +168,8 @@ class GPTModel(nn.Module):
         residual = None
         for block in self.layers:
             hidden, residual = block(
-                hidden, residual, deterministic=deterministic, mode=mode)
+                hidden, residual, deterministic=deterministic, mode=mode,
+                **mixer_kwargs)
         if residual is not None:
             hidden = (hidden.astype(jnp.float32)
                       + residual.astype(jnp.float32)).astype(cfg.dtype)
@@ -182,9 +194,9 @@ class GPTLMHeadModel(nn.Module):
                                     dtype=self.config.dtype)
 
     def __call__(self, input_ids, position_ids=None, mode: str = "train",
-                 deterministic: bool = True):
+                 deterministic: bool = True, **mixer_kwargs):
         hidden = self.transformer(input_ids, position_ids, mode=mode,
-                                  deterministic=deterministic)
+                                  deterministic=deterministic, **mixer_kwargs)
         if self.config.tie_word_embeddings:
             logits = self.transformer.attend(hidden)
         else:

@@ -97,6 +97,21 @@ class ParallelBlock(nn.Module):
             hidden_states, residual, w1, b1, dropout_p=p,
             epsilon=self.norm_epsilon, prenorm=True, key=key,
         )
+        if self.tied_norm:
+            normed2 = normed
+        else:
+            # GPT-NeoX-style separate mlp norm over the same residual sum
+            from flash_attn_tpu.ops.norm import layer_norm, rms_norm
+            w2 = self.param("norm2_weight", nn.initializers.ones,
+                            (dim,), jnp.float32)
+            if self.use_rms_norm:
+                normed2 = rms_norm(residual.astype(self.dtype), w2,
+                                   self.norm_epsilon)
+            else:
+                b2 = self.param("norm2_bias", nn.initializers.zeros,
+                                (dim,), jnp.float32)
+                normed2 = layer_norm(residual.astype(self.dtype), w2, b2,
+                                     self.norm_epsilon)
         attn_out = self.mixer()(normed, **mixer_kwargs)
-        mlp_out = self.mlp()(normed)
+        mlp_out = self.mlp()(normed2)
         return attn_out + mlp_out, residual

@@ -87,6 +87,8 @@ class MHA(nn.Module):
         cu_seqlens=None,
         max_seqlen: Optional[int] = None,
         mode: str = "train",  # "train" | "prefill" | "decode"
+        slot_ids=None,          # (b,) cache rows for continuous batching
+        prefill_lengths=None,   # (b,) true prompt lengths (padded prefill)
     ):
         decode = mode == "decode"
         prefill = mode == "prefill"
@@ -183,13 +185,23 @@ class MHA(nn.Module):
                         "cache", "v",
                         lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
                                           self.dtype))
+                    n_slots = kcache.value.shape[0]
                     offset = self.variable(
-                        "cache", "offset", lambda: jnp.zeros((b,), jnp.int32))
+                        "cache", "offset",
+                        lambda: jnp.zeros((n_slots,), jnp.int32))
+                    write_offsets = jnp.zeros((b,), jnp.int32)
                     k_new, v_new = kv_cache_update(
-                        kcache.value, vcache.value, k, v, offset.value)
+                        kcache.value, vcache.value, k, v, write_offsets,
+                        cache_batch_idx=slot_ids)
                     kcache.value = k_new
                     vcache.value = v_new
-                    offset.value = offset.value + s
+                    lengths = (jnp.full((b,), s, jnp.int32)
+                               if prefill_lengths is None else
+                               prefill_lengths.astype(jnp.int32))
+                    if slot_ids is None:
+                        offset.value = lengths
+                    else:
+                        offset.value = offset.value.at[slot_ids].set(lengths)
             ctx = ctx.reshape(b, s, h * d)
 
         return nn.Dense(self.embed_dim, use_bias=self.out_proj_bias,

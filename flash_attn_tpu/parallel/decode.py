@@ -1,0 +1,71 @@
+"""Multi-chip / multi-host sharded decode.
+
+The BASELINE north star: serve decode with the KV cache sharded over the
+mesh — KV heads on the ``model`` axis (no combine needed: heads are
+independent) and the cache sequence dimension on the ``seq`` axis
+(cross-device split-KV: each device computes a partial (out, lse) for its
+KV shard, then one small all_gather + LSE-weighted merge — the reference's
+flash_fwd_combine algebra across chips instead of across SM splits).
+
+The combine payload is tiny ((b, h, rows, d) fp32 per device) next to the
+cache reads, so scaling is dominated by the sharded HBM bandwidth — the
+mechanism behind the >=85% 1->N host scaling target.
+"""
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flash_attn_tpu.kernels.flash_decode import (
+    combine_splits,
+    flash_attention_decode,
+)
+from flash_attn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
+
+__all__ = ["sharded_decode_attention"]
+
+
+def sharded_decode_attention(
+    mesh: Mesh,
+    causal: bool = True,
+    softmax_scale: Optional[float] = None,
+    num_splits: int = 1,
+    interpret: bool = False,
+):
+    """Returns fn(q, k_cache, v_cache, cache_seqlens) with:
+        q            (b, 1, h, d)       sharded (data, -, model, -)
+        k/v_cache    (b, h_k, s_max, d) sharded (data, model, seq, -)
+        cache_seqlens (b,)              replicated
+    i.e. heads tensor-parallel AND the cache sequence context-parallel.
+    Output: (b, 1, h, d) sharded (data, -, model, -).
+    """
+    q_spec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    kv_spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS, None)
+    len_spec = P(DATA_AXIS)
+
+    def local_fixed(q, kc, vc, seqlens):
+        seq_rank = jax.lax.axis_index(SEQ_AXIS)
+        s_local = kc.shape[2]
+        lo = seq_rank * s_local
+        sk_local = jnp.clip(seqlens - lo, 0, s_local)
+        d = q.shape[-1]
+        scale = softmax_scale or 1.0 / math.sqrt(d)
+        out_p, lse_p = flash_attention_decode(
+            q, kc, vc, sk_local, softmax_scale=scale, causal=False,
+            num_splits=num_splits, interpret=interpret,
+        )
+        # (P, b, 1, h, d) and (P, b, h, 1)
+        # payload per device: (b, 1, h_local, d) fp32 + (b, 1, h_local)
+        out_all = jax.lax.all_gather(out_p.astype(jnp.float32), SEQ_AXIS)
+        lse_all = jax.lax.all_gather(jnp.swapaxes(lse_p, 1, 2), SEQ_AXIS)
+        out, _ = combine_splits(out_all, lse_all)
+        return out.astype(q.dtype)
+
+    return jax.jit(jax.shard_map(
+        local_fixed, mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec, len_spec),
+        out_specs=q_spec, check_vma=False,
+    ))

@@ -1,0 +1,185 @@
+"""Continuous-batching inference engine.
+
+Beyond the reference (SURVEY.md §2.5 / BASELINE north star): the reference
+ships a static-batch decode loop (utils/generation.py); production TPU
+serving needs slot-based continuous batching — requests are admitted into
+free KV-cache slots as others finish, with no global barrier between
+sequences. The decode step is one jitted program over all slots; admission
+runs a slot-mapped prefill that writes only the admitted slots' cache rows
+(cache_batch_idx scatter). Per-slot lengths ride the decode kernel's native
+per-batch cache_seqlens.
+"""
+
+import dataclasses
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attn_tpu.serving.generation import GenerationConfig, sample_token
+
+__all__ = ["InferenceEngine", "Request"]
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: np.ndarray          # (prompt_len,) int32
+    max_new_tokens: int = 64
+    # filled by the engine:
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class InferenceEngine:
+    def __init__(self, model, params, max_batch: int, gen_cfg: GenerationConfig,
+                 rng: Optional[jax.Array] = None):
+        self.model = model
+        self.params = params
+        self.B = max_batch
+        self.cfg = gen_cfg
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        self.queue: deque = deque()
+        self.requests: Dict[int, Request] = {}
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.slot_tok = np.zeros((max_batch,), np.int32)
+        self.slot_new = np.zeros((max_batch,), np.int32)  # generated count
+        self._next_id = 0
+        self.cache = None
+
+        def _decode_step(params, cache, toks, rng):
+            logits, state = self.model.apply(
+                {"params": params, "cache": cache}, toks, mode="decode",
+                mutable=["cache"])
+            rng, key = jax.random.split(rng)
+            nxt = sample_token(logits[:, -1], key, self.cfg)
+            return nxt, state["cache"], rng
+
+        self._decode = jax.jit(_decode_step)
+
+        def _prefill(params, cache, ids, slot_ids, lengths, rng):
+            variables = {"params": params}
+            if cache is not None:
+                variables["cache"] = cache
+            logits, state = self.model.apply(
+                variables, ids, mode="prefill", mutable=["cache"],
+                slot_ids=slot_ids, prefill_lengths=lengths)
+            # logits at each prompt's true last position
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+            rng, key = jax.random.split(rng)
+            nxt = sample_token(last, key, self.cfg)
+            return nxt, state["cache"], rng
+
+        self._prefill = jax.jit(_prefill)
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt, max_new_tokens: int = 64) -> int:
+        req = Request(self._next_id, np.asarray(prompt, np.int32),
+                      max_new_tokens)
+        self._next_id += 1
+        self.queue.append(req)
+        self.requests[req.req_id] = req
+        return req.req_id
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self.slots) if r is None]
+
+    def _offsets(self) -> np.ndarray:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(self.cache)[0]:
+            if getattr(path[-1], "key", None) == "offset":
+                return np.asarray(leaf)
+        raise ValueError
+
+    def _set_inactive_offsets_zero(self):
+        active = np.array([r is not None for r in self.slots])
+
+        def fix(path, leaf):
+            if getattr(path[-1], "key", None) == "offset":
+                return jnp.where(jnp.asarray(active), leaf, 0)
+            return leaf
+
+        self.cache = jax.tree_util.tree_map_with_path(fix, self.cache)
+
+    def _init_cache(self):
+        # allocate the cache collection by tracing a B-batch prefill
+        ids = jnp.zeros((self.B, 8), jnp.int32)
+        _, state = self.model.apply(
+            {"params": self.params}, ids, mode="prefill", mutable=["cache"],
+            slot_ids=jnp.arange(self.B), prefill_lengths=jnp.zeros((self.B,), jnp.int32))
+        self.cache = state["cache"]
+        self._set_inactive_offsets_zero()
+
+    # ------------------------------------------------------------------
+    def step(self) -> List[Tuple[int, int]]:
+        """One engine step: admit queued requests into free slots (prefill),
+        then one decode step for all active slots. Returns the list of
+        (req_id, token) emitted this step."""
+        if self.cache is None:
+            self._init_cache()
+        emitted: List[Tuple[int, int]] = []
+
+        # ---- admission ----
+        free = self._free_slots()
+        admit: List[Tuple[int, Request]] = []
+        while free and self.queue:
+            admit.append((free.pop(0), self.queue.popleft()))
+        if admit:
+            max_len = max(len(r.prompt) for _, r in admit)
+            ids = np.zeros((len(admit), max_len), np.int32)
+            lengths = np.zeros((len(admit),), np.int32)
+            slot_ids = np.zeros((len(admit),), np.int32)
+            for j, (slot, req) in enumerate(admit):
+                ids[j, :len(req.prompt)] = req.prompt
+                lengths[j] = len(req.prompt)
+                slot_ids[j] = slot
+                self.slots[slot] = req
+                self.slot_new[slot] = 0
+            nxt, self.cache, self.rng = self._prefill(
+                self.params, self.cache, jnp.asarray(ids),
+                jnp.asarray(slot_ids), jnp.asarray(lengths), self.rng)
+            nxt = np.asarray(nxt)
+            for j, (slot, req) in enumerate(admit):
+                tok = int(nxt[j])
+                req.generated.append(tok)
+                self.slot_tok[slot] = tok
+                self.slot_new[slot] = 1
+                emitted.append((req.req_id, tok))
+                self._maybe_finish(slot, tok)
+
+        # ---- decode step over all slots ----
+        if any(r is not None for r in self.slots):
+            toks = jnp.asarray(self.slot_tok[:, None])
+            nxt, self.cache, self.rng = self._decode(
+                self.params, self.cache, toks, self.rng)
+            nxt = np.asarray(nxt)
+            for slot, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                tok = int(nxt[slot])
+                req.generated.append(tok)
+                self.slot_tok[slot] = tok
+                self.slot_new[slot] += 1
+                emitted.append((req.req_id, tok))
+                self._maybe_finish(slot, tok)
+            self._set_inactive_offsets_zero()
+        return emitted
+
+    def _maybe_finish(self, slot: int, tok: int):
+        req = self.slots[slot]
+        eos = self.cfg.eos_token_id
+        if (eos is not None and tok == eos) or (
+                self.slot_new[slot] >= req.max_new_tokens):
+            req.done = True
+            self.slots[slot] = None
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
+        """Run until queue + slots drain; returns {req_id: generated}."""
+        for _ in range(max_steps):
+            if not self.queue and all(r is None for r in self.slots):
+                break
+            self.step()
+        return {rid: r.generated for rid, r in self.requests.items()}

@@ -1,0 +1,80 @@
+"""score_mod / mask_mod extensibility tests (reference tests/cute/
+test_score_mod.py, test_mask_mod.py patterns)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+from flash_attn_tpu.utils.testing import attention_ref
+
+
+def _qkv(key, b, h, s, d):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (b, h, s, d), jnp.float32) for k in ks)
+
+
+def test_score_mod_relative_bias():
+    """score_mod adding a relative-position bias == attention_ref with an
+    explicit bias matrix."""
+    b, h, s, d = 2, 2, 256, 64
+    q, k, v = _qkv(jax.random.PRNGKey(0), b, h, s, d)
+
+    def score_mod(scores, bi, hi, rows, cols):
+        return scores - 0.01 * jnp.abs(rows - cols).astype(jnp.float32)
+
+    out, _ = flash_attention_fwd(q, k, v, score_mod=score_mod, interpret=True)
+
+    rows = np.arange(s)[:, None]
+    cols = np.arange(s)[None, :]
+    bias = -0.01 * np.abs(rows - cols).astype(np.float32)
+    qb = jnp.swapaxes(q, 1, 2)
+    kb = jnp.swapaxes(k, 1, 2)
+    vb = jnp.swapaxes(v, 1, 2)
+    ref, _ = attention_ref(qb, kb, vb, attn_bias=jnp.asarray(bias)[None, None])
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref),
+        atol=2e-5, rtol=2e-5)
+
+
+def test_mask_mod_checkerboard():
+    """mask_mod with an arbitrary pattern == dense masked softmax."""
+    b, h, s, d = 1, 2, 192, 64
+    q, k, v = _qkv(jax.random.PRNGKey(1), b, h, s, d)
+
+    def mask_mod(bi, hi, rows, cols):
+        return (rows + cols) % 2 == 0
+
+    out, _ = flash_attention_fwd(q, k, v, mask_mod=mask_mod, interpret=True)
+
+    scale = 1.0 / math.sqrt(d)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    keep = (np.add.outer(np.arange(s), np.arange(s)) % 2) == 0
+    sc = jnp.where(jnp.asarray(keep)[None, None], sc, -jnp.inf)
+    p = jax.nn.softmax(sc, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_score_mod_with_causal():
+    """score_mod composes with built-in causal masking."""
+    b, h, s, d = 1, 2, 128, 64
+    q, k, v = _qkv(jax.random.PRNGKey(2), b, h, s, d)
+
+    def score_mod(scores, bi, hi, rows, cols):
+        return jnp.tanh(scores)
+
+    out, _ = flash_attention_fwd(q, k, v, causal=True, score_mod=score_mod,
+                                 interpret=True)
+    scale = 1.0 / math.sqrt(d)
+    sc = jnp.tanh(jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale)
+    mask = np.tril(np.ones((s, s), bool))
+    sc = jnp.where(jnp.asarray(mask)[None, None], sc, -jnp.inf)
+    p = jax.nn.softmax(sc, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
