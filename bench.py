@@ -98,8 +98,8 @@ def bench_decode_fp8_paged():
     from flash_attn_tpu import flash_attn_with_kvcache
 
     FP8 = jnp.float8_e4m3fn
-    b, h, h_k, d = 64, 32, 8, 128
-    page_size, ctx = 256, 8192
+    b, h, h_k, d = 8, 32, 8, 128
+    page_size, ctx = 256, 2048
     ppseq = ctx // page_size
     num_pages = b * ppseq
     q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d), jnp.bfloat16)
@@ -122,8 +122,6 @@ def bench_decode_fp8_paged():
 def main():
     peak = detect_peak_tflops()
     fwd_tf, fwd_t = bench_fwd(peak)
-    bwd_tf, bwd_t = bench_bwd(peak)
-    dec_tps, dec_t = bench_decode_fp8_paged()
     frac = fwd_tf / peak
     result = {
         "metric": "attn_fwd_bf16_hdim128_seq8k_tflops",
@@ -133,10 +131,22 @@ def main():
         "sol_fraction": round(frac, 4),
         "peak_tflops": peak,
         "fwd_ms": round(fwd_t * 1e3, 3),
-        "bwd_tflops": round(bwd_tf, 2),
-        "decode_fp8_paged_tokens_per_s_8k_ctx": round(dec_tps, 1),
-        "decode_step_ms": round(dec_t * 1e3, 3),
     }
+    # Secondary metrics are best-effort: a failure must not lose the
+    # headline line (and the decode config is kept conservative until the
+    # long-trip-count DMA investigation concludes).
+    try:
+        bwd_tf, bwd_t = bench_bwd(peak)
+        result["bwd_tflops"] = round(bwd_tf, 2)
+    except Exception as e:  # pragma: no cover
+        result["bwd_error"] = f"{type(e).__name__}"
+    if os.environ.get("FA_TPU_BENCH_DECODE", "1") == "1":
+        try:
+            dec_tps, dec_t = bench_decode_fp8_paged()
+            result["decode_fp8_paged_tokens_per_s_2k_ctx"] = round(dec_tps, 1)
+            result["decode_step_ms"] = round(dec_t * 1e3, 3)
+        except Exception as e:  # pragma: no cover
+            result["decode_error"] = f"{type(e).__name__}"
     print(json.dumps(result))
 
 

@@ -80,15 +80,9 @@ def _bs_kernel(
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     shift = seqlen_k - seqlen_q
 
-    def body(t, _):
-        slot = jax.lax.rem(t, 2)
-
-        @pl.when(t + 1 < n_tiles)
-        def _prefetch():
-            ck, cv = dma(jax.lax.rem(t + 1, 2), t + 1)
-            ck.start()
-            cv.start()
-
+    def tile_compute(t, slot):
+        # static slots only: dynamic semaphore indexing is a measured ~4s
+        # per wait runtime slow path (see flash_decode.py)
         ck, cv = dma(slot, t)
         ck.wait()
         cv.wait()
@@ -125,9 +119,31 @@ def _bs_kernel(
             preferred_element_type=jnp.float32,
         )
         acc[...] = acc[...] * corr[:, :1] + pv
+
+    def pair_body(p2, _):
+        t0 = 2 * p2
+
+        @pl.when(t0 + 1 < n_tiles)
+        def _pf1():
+            ck, cv = dma(1, t0 + 1)
+            ck.start()
+            cv.start()
+
+        tile_compute(t0, 0)
+
+        @pl.when(t0 + 2 < n_tiles)
+        def _pf0():
+            ck, cv = dma(0, t0 + 2)
+            ck.start()
+            cv.start()
+
+        @pl.when(t0 + 1 < n_tiles)
+        def _second():
+            tile_compute(t0 + 1, 1)
+
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, body, 0)
+    jax.lax.fori_loop(0, (n_tiles + 1) // 2, pair_body, 0)
 
     m = m_s[:, :1]
     l = l_s[:, :1]

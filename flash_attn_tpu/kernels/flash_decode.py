@@ -109,15 +109,10 @@ def _decode_kernel(
     shift = sk_eff - seqlen_q
     slope = slopes_ref[0, 0] if has_alibi else None  # (rows_pad, 1)
 
-    def body(t, _):
-        slot = jax.lax.rem(t - t_lo, 2)
-
-        @pl.when(t + 1 < t_hi)
-        def _prefetch():
-            ck, cv = k_dma(jax.lax.rem(t + 1 - t_lo, 2), t + 1)
-            ck.start()
-            cv.start()
-
+    def tile_compute(t, slot):
+        # NOTE: buffer/semaphore slots are STATIC python ints — dynamic
+        # slot indexing of DMA semaphores hits a catastrophic slow path in
+        # the runtime (measured ~4s per wait); the caller unrolls by 2.
         ck, cv = k_dma(slot, t)
         ck.wait()
         cv.wait()
@@ -183,9 +178,35 @@ def _decode_kernel(
             preferred_element_type=jnp.float32,
         )
         acc[...] = acc[...] * corr[:, :1] + pv
+
+    # Unroll-by-2 pipeline with static slots: pair p handles tiles
+    # (t_lo+2p) in slot 0 and (t_lo+2p+1) in slot 1, prefetching the next
+    # pair's tiles while computing.
+    def pair_body(p2, _):
+        t0 = t_lo + 2 * p2
+
+        @pl.when(t0 + 1 < t_hi)
+        def _pf1():
+            ck, cv = k_dma(1, t0 + 1)
+            ck.start()
+            cv.start()
+
+        tile_compute(t0, 0)
+
+        @pl.when(t0 + 2 < t_hi)
+        def _pf0():
+            ck, cv = k_dma(0, t0 + 2)
+            ck.start()
+            cv.start()
+
+        @pl.when(t0 + 1 < t_hi)
+        def _second():
+            tile_compute(t0 + 1, 1)
+
         return 0
 
-    jax.lax.fori_loop(t_lo, t_hi, body, 0)
+    num_pairs = (t_hi - t_lo + 1) // 2
+    jax.lax.fori_loop(0, num_pairs, pair_body, 0)
 
     m = m_s[:, :1]
     l = l_s[:, :1]
