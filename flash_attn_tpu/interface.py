@@ -202,52 +202,56 @@ def flash_attn_func(
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(8, 9, 10, 11, 12, 13, 14),
+    nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16),
 )
 def _flash_attn_varlen(q, k, v, cu_seqlens_q, cu_seqlens_k,
-                       seqused_q, seqused_k, alibi_slopes,
+                       seqused_q, seqused_k, alibi_slopes, dropout_seed,
                        max_seqlen_q, max_seqlen_k,
                        softmax_scale, causal, window_size, softcap,
-                       attention_chunk):
+                       attention_chunk, dropout_p):
     out, _ = _flash_attn_varlen_fwd_res(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-        alibi_slopes, max_seqlen_q, max_seqlen_k,
+        alibi_slopes, dropout_seed, max_seqlen_q, max_seqlen_k,
         softmax_scale, causal, window_size, softcap, attention_chunk,
+        dropout_p,
     )
     return out
 
 
 def _flash_attn_varlen_fwd_res(q, k, v, cu_seqlens_q, cu_seqlens_k,
                                seqused_q, seqused_k, alibi_slopes,
-                               max_seqlen_q, max_seqlen_k,
+                               dropout_seed, max_seqlen_q, max_seqlen_k,
                                softmax_scale, causal, window_size, softcap,
-                               attention_chunk):
+                               attention_chunk, dropout_p):
     out, lse = flash_attention_varlen_fwd(
         q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
         seqused_q=seqused_q, seqused_k=seqused_k, alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
         softcap=softcap, attention_chunk=attention_chunk,
         interpret=_use_interpret(),
     )
     return out, (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-                 alibi_slopes, out, lse)
+                 alibi_slopes, dropout_seed, out, lse)
 
 
 def _flash_attn_varlen_bwd(max_seqlen_q, max_seqlen_k, softmax_scale, causal,
-                           window_size, softcap, attention_chunk,
+                           window_size, softcap, attention_chunk, dropout_p,
                            residuals, g):
     (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-     alibi_slopes, out, lse) = residuals
+     alibi_slopes, dropout_seed, out, lse) = residuals
     dq, dk, dv = flash_attention_varlen_bwd(
         g, q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k,
         max_seqlen_q, max_seqlen_k, seqused_q=seqused_q, seqused_k=seqused_k,
-        alibi_slopes=alibi_slopes, softmax_scale=softmax_scale, causal=causal,
+        alibi_slopes=alibi_slopes, dropout_p=dropout_p,
+        dropout_seed=dropout_seed, softmax_scale=softmax_scale, causal=causal,
         window_size=window_size, softcap=softcap,
         attention_chunk=attention_chunk, interpret=_use_interpret(),
     )
     zeros_like_opt = lambda x: None if x is None else jnp.zeros_like(x)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            None, None, None, None, zeros_like_opt(alibi_slopes))
+            None, None, None, None, zeros_like_opt(alibi_slopes),
+            zeros_like_opt(dropout_seed))
 
 
 _flash_attn_varlen.defvjp(_flash_attn_varlen_fwd_res, _flash_attn_varlen_bwd)
@@ -272,6 +276,7 @@ def flash_attn_varlen_func(
     seqused_q=None,
     seqused_k=None,
     attention_chunk: int = 0,
+    dropout_rng=None,
 ):
     """Varlen (packed) attention — parity with the reference
     ``flash_attn_varlen_func`` (flash_attn/flash_attn_interface.py:1286;
@@ -280,8 +285,12 @@ def flash_attn_varlen_func(
     Returns out (total_q, nheads, head_dim_v); with return_attn_probs, the
     tuple (out, lse (nheads, total_q)).
     """
-    if dropout_p != 0.0:
-        raise NotImplementedError("dropout: pending kernel-PRNG milestone")
+    dropout_seed = None
+    if dropout_p > 0.0:
+        if dropout_rng is None:
+            raise ValueError(
+                "dropout_p > 0 requires dropout_rng (a jax.random key)")
+        dropout_seed = jax.random.bits(dropout_rng, dtype=jnp.uint32)
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(q.shape[-1])
     window_size = normalize_window(tuple(window_size))
@@ -292,14 +301,16 @@ def flash_attn_varlen_func(
         )
     out = _flash_attn_varlen(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-        alibi_slopes, int(max_seqlen_q), int(max_seqlen_k),
+        alibi_slopes, dropout_seed, int(max_seqlen_q), int(max_seqlen_k),
         softmax_scale, causal, window_size, softcap, attention_chunk,
+        dropout_p,
     )
     if return_attn_probs:
         _, res = _flash_attn_varlen_fwd_res(
             q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-            alibi_slopes, int(max_seqlen_q), int(max_seqlen_k),
+            alibi_slopes, dropout_seed, int(max_seqlen_q), int(max_seqlen_k),
             softmax_scale, causal, window_size, softcap, attention_chunk,
+            dropout_p,
         )
         return out, res[-1]
     return out

@@ -36,6 +36,7 @@ from flash_attn_tpu.dispatch.varlen_meta import (
     Q_PAD_SEG,
     compute_varlen_meta,
 )
+from flash_attn_tpu.kernels.dropout_rng import dropout_keep
 
 LOG2E = math.log2(math.e)
 LN2 = math.log(2.0)
@@ -79,8 +80,11 @@ def _varlen_fwd_kernel(
     *refs,
     block_q, block_k, num_kv_blocks,
     scale_log2, softcap, causal, window_left, window_right, attention_chunk,
-    has_alibi, out_dtype,
+    has_alibi, dropout_p, out_dtype,
 ):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    slope_ref = None
     if has_alibi:
         (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
          kval_ref, slope_ref, q_ref, k_ref, v_ref,
@@ -89,8 +93,8 @@ def _varlen_fwd_kernel(
         (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
          kval_ref, q_ref, k_ref, v_ref,
          out_ref, lse_ref, acc, m_s, l_s) = refs
-        slope_ref = None
 
+    h_idx = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -149,6 +153,15 @@ def _varlen_fwd_kernel(
         row_sum = jnp.sum(p, axis=-1, keepdims=True)
         l_s[...] = l_prev * corr + jnp.broadcast_to(row_sum, l_prev.shape)
         m_s[...] = m_new
+        if dropout_p > 0.0:
+            # counters: (head, flat row token, flat col token)
+            drows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            dcols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = dropout_keep(seed_ref[0, 0], h_idx, drows, dcols,
+                                dropout_p)
+            p = jnp.where(keep, p, 0.0)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -160,6 +173,8 @@ def _varlen_fwd_kernel(
         m = m_s[:, :1]
         l = l_s[:, :1]
         inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if dropout_p > 0.0:
+            inv_l = inv_l / (1.0 - dropout_p)
         out_ref[0] = (acc[...] * inv_l).astype(out_dtype)
         lse_ref[0, 0] = (m * LN2 + jnp.log(l))[:, 0]
 
@@ -169,7 +184,7 @@ def _varlen_fwd_kernel(
     static_argnames=(
         "max_seqlen_q", "max_seqlen_k", "softmax_scale", "causal",
         "window_size", "softcap", "attention_chunk", "block_q", "block_k",
-        "interpret",
+        "interpret", "dropout_p",
     ),
 )
 def flash_attention_varlen_fwd(
@@ -183,6 +198,8 @@ def flash_attention_varlen_fwd(
     seqused_q=None,
     seqused_k=None,
     alibi_slopes=None,  # (b, h) f32
+    dropout_p: float = 0.0,
+    dropout_seed=None,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[Optional[int], Optional[int]] = (None, None),
@@ -227,12 +244,19 @@ def flash_attention_varlen_fwd(
     kt = jnp.swapaxes(k, 0, 1)
     vt = jnp.swapaxes(v, 0, 1)
 
-    in_specs = [
+    in_specs = []
+    inputs = []
+    if dropout_p > 0.0:
+        assert dropout_seed is not None
+        in_specs.append(pl.BlockSpec((1, 1), lambda h_, i, j, *_: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(dropout_seed, jnp.uint32).reshape(1, 1))
+    in_specs += [
         qcol_spec, qcol_spec, qcol_spec, qcol_spec,  # seg/pos/shift/sk (q)
         krow_spec, krow_spec,                        # seg/pos (k)
         kcol_spec,                                   # kvalid
     ]
-    inputs = [
+    inputs += [
         col(meta.seg_q), col(meta.pos_q), col(shift_q), col(meta.sk_of_q),
         row(meta.seg_k), row(meta.pos_k),
         kvalid.reshape(-1, 1),
@@ -276,7 +300,8 @@ def flash_attention_varlen_fwd(
         scale_log2=softmax_scale * LOG2E, softcap=softcap, causal=causal,
         window_left=window_left, window_right=window_right,
         attention_chunk=attention_chunk,
-        has_alibi=alibi_slopes is not None, out_dtype=q.dtype,
+        has_alibi=alibi_slopes is not None, dropout_p=dropout_p,
+        out_dtype=q.dtype,
     )
 
     out_t, lse = pl.pallas_call(
@@ -301,8 +326,11 @@ def _varlen_dkdv_kernel(
     iband_min_ref, iband_max_ref,
     *refs,
     block_q, block_k, num_q_blocks, group, scale, softcap, causal,
-    window_left, window_right, attention_chunk, has_alibi,
+    window_left, window_right, attention_chunk, has_alibi, dropout_p,
 ):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    slope_ref = None
     if has_alibi:
         (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
          kval_ref, slope_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
@@ -311,8 +339,8 @@ def _varlen_dkdv_kernel(
         (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
          kval_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
-        slope_ref = None
 
+    hk_idx = pl.program_id(0)
     n = pl.program_id(1)   # kv block
     g = pl.program_id(2)   # gqa group member
     i = pl.program_id(3)   # q block
@@ -350,13 +378,26 @@ def _varlen_dkdv_kernel(
         lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
         p = jnp.exp2(s2 - lse2_safe)
         p = jnp.where(qvalid, p, 0)
+        if dropout_p > 0.0:
+            head = hk_idx * group + g
+            drows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            dcols = n * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = dropout_keep(seed_ref[0, 0], head, drows, dcols, dropout_p)
+            scale_keep = 1.0 / (1.0 - dropout_p)
+            p_v = jnp.where(keep, p, 0.0) * scale_keep
+        else:
+            p_v = p
         dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if dropout_p > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * scale_keep
         ds = p * (dp - delta)
         if dtanh is not None:
             ds = ds * dtanh
@@ -398,8 +439,11 @@ def _varlen_dq_kernel(
     jband_min_ref, jband_max_ref,
     *refs,
     block_q, block_k, num_kv_blocks, scale, softcap, causal,
-    window_left, window_right, attention_chunk, has_alibi,
+    window_left, window_right, attention_chunk, has_alibi, dropout_p,
 ):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    slope_ref = None
     if has_alibi:
         (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
          kval_ref, slope_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
@@ -408,8 +452,8 @@ def _varlen_dq_kernel(
         (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
          kval_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
          dq_ref, dq_acc) = refs
-        slope_ref = None
 
+    h_idx = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -444,6 +488,14 @@ def _varlen_dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if dropout_p > 0.0:
+            drows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            dcols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = dropout_keep(seed_ref[0, 0], h_idx, drows, dcols,
+                                dropout_p)
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_p))
         ds = p * (dp - delta)
         if dtanh is not None:
             ds = ds * dtanh
@@ -463,7 +515,7 @@ def _varlen_dq_kernel(
     static_argnames=(
         "max_seqlen_q", "max_seqlen_k", "softmax_scale", "causal",
         "window_size", "softcap", "attention_chunk", "block_q", "block_k",
-        "interpret",
+        "interpret", "dropout_p",
     ),
 )
 def flash_attention_varlen_bwd(
@@ -475,6 +527,8 @@ def flash_attention_varlen_bwd(
     max_seqlen_q: int, max_seqlen_k: int,
     seqused_q=None, seqused_k=None,
     alibi_slopes=None,
+    dropout_p: float = 0.0,
+    dropout_seed=None,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[Optional[int], Optional[int]] = (None, None),
@@ -530,7 +584,10 @@ def flash_attention_varlen_bwd(
         block_q=bq, block_k=bk, scale=softmax_scale, softcap=softcap,
         causal=causal, window_left=window_left, window_right=window_right,
         attention_chunk=attention_chunk, has_alibi=alibi_slopes is not None,
+        dropout_p=dropout_p,
     )
+    seed_arr = (jnp.asarray(dropout_seed, jnp.uint32).reshape(1, 1)
+                if dropout_p > 0.0 else None)
 
     # ---------- dK/dV ----------
     def sideband_specs(idx_q, idx_k):
@@ -555,6 +612,10 @@ def flash_attention_varlen_bwd(
     idx_k = lambda hk, n, g, i, *_: n
     dkdv_specs = sideband_specs(idx_q, idx_k)
     dkdv_inputs = list(sideband_inputs)
+    if dropout_p > 0.0:
+        dkdv_specs.insert(0, pl.BlockSpec(
+            (1, 1), lambda hk, n, g, i, *_: (0, 0), memory_space=pltpu.SMEM))
+        dkdv_inputs.insert(0, seed_arr)
     if slope_in is not None:
         dkdv_specs.append(pl.BlockSpec(
             (1, bq, 1), lambda hk, n, g, i, *_: (hk * group + g, i, 0)))
@@ -601,6 +662,10 @@ def flash_attention_varlen_bwd(
     idx_k2 = lambda h_, i, j, *_: j
     dq_specs = sideband_specs(idx_q2, idx_k2)
     dq_inputs = list(sideband_inputs)
+    if dropout_p > 0.0:
+        dq_specs.insert(0, pl.BlockSpec(
+            (1, 1), lambda h_, i, j, *_: (0, 0), memory_space=pltpu.SMEM))
+        dq_inputs.insert(0, seed_arr)
     if slope_in is not None:
         dq_specs.append(pl.BlockSpec(
             (1, bq, 1), lambda h_, i, j, *_: (h_, i, 0)))

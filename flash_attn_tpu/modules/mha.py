@@ -27,19 +27,50 @@ from flash_attn_tpu.ops.rotary import apply_rotary_emb
 
 class RotaryEmbedding(nn.Module):
     """Rotary cos/sin table (reference flash_attn/layers/rotary.py:331
-    ``RotaryEmbedding``: base theta, optional xPos scale, interleaved)."""
+    ``RotaryEmbedding``): base theta, optional xPos decay (``scale_base``),
+    dynamic NTK-style base rescaling past ``ntk_orig_len``, interleaved."""
     dim: int
     base: float = 10000.0
     interleaved: bool = False
-    scale_base: Optional[float] = None
+    scale_base: Optional[float] = None   # xPos
+    ntk_orig_len: Optional[int] = None   # dynamic NTK alpha scaling
+
+    def _base_for(self, seqlen: int) -> float:
+        if self.ntk_orig_len is not None and seqlen > self.ntk_orig_len:
+            # dynamic NTK (reference rotary.py _update_cos_sin_cache):
+            # base' = base * (alpha*len/orig - (alpha-1)) ** (d/(d-2)),
+            # alpha = len/orig
+            alpha = seqlen / self.ntk_orig_len
+            return float(self.base * (
+                (alpha * seqlen / self.ntk_orig_len - (alpha - 1))
+                ** (self.dim / (self.dim - 2))))
+        return self.base
 
     def cos_sin(self, seqlen: int, dtype=jnp.float32):
+        base = self._base_for(seqlen)
         inv_freq = 1.0 / (
-            self.base ** (jnp.arange(0, self.dim, 2, dtype=jnp.float32) / self.dim)
+            base ** (jnp.arange(0, self.dim, 2, dtype=jnp.float32) / self.dim)
         )
         t = jnp.arange(seqlen, dtype=jnp.float32)
         freqs = jnp.outer(t, inv_freq)
         return jnp.cos(freqs).astype(dtype), jnp.sin(freqs).astype(dtype)
+
+    def cos_sin_scaled(self, seqlen: int, dtype=jnp.float32):
+        """xPos variant: returns (cos, sin, cos_k, sin_k) where q uses the
+        scaled pair and k the inverse-scaled pair (reference rotary.py
+        scale_base handling)."""
+        cos, sin = self.cos_sin(seqlen, jnp.float32)
+        if self.scale_base is None:
+            return cos.astype(dtype), sin.astype(dtype), cos.astype(dtype), sin.astype(dtype)
+        scale = (
+            (jnp.arange(0, self.dim, 2, dtype=jnp.float32) + 0.4 * self.dim)
+            / (1.4 * self.dim)
+        )
+        t = jnp.arange(seqlen, dtype=jnp.float32)
+        power = (t - seqlen // 2) / self.scale_base
+        sc = scale[None, :] ** power[:, None]
+        return ((cos * sc).astype(dtype), (sin * sc).astype(dtype),
+                (cos / sc).astype(dtype), (sin / sc).astype(dtype))
 
 
 class MHA(nn.Module):
@@ -58,6 +89,7 @@ class MHA(nn.Module):
     rotary_emb_base: float = 10000.0
     rotary_emb_interleaved: bool = False
     use_alibi: bool = False
+    dwconv: bool = False  # causal depthwise conv on qkv (reference mha.py dwconv)
     max_decode_seqlen: int = 2048  # cache allocation length
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -97,6 +129,23 @@ class MHA(nn.Module):
         qkv_dim = (h + 2 * h_k) * d
         qkv = nn.Dense(qkv_dim, use_bias=self.qkv_proj_bias, dtype=self.dtype,
                        name="Wqkv")(x)
+        if self.dwconv:
+            # causal depthwise conv over the sequence (reference
+            # modules/mha.py dwconv_qkv: Conv1d(groups=dim, k=3, pad=2)[:-2])
+            assert cu_seqlens is None and mode == "train", \
+                "dwconv: train mode, non-packed only"
+            w = self.param("dwconv_kernel", nn.initializers.normal(0.02),
+                           (3, 1, qkv_dim), jnp.float32)
+            b_dw = self.param("dwconv_bias", nn.initializers.zeros,
+                              (qkv_dim,), jnp.float32)
+            pad = jnp.pad(qkv, ((0, 0), (2, 0), (0, 0)))
+            qkv = jax.lax.conv_general_dilated(
+                pad.astype(jnp.float32), w,
+                window_strides=(1,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=qkv_dim,
+            ) + b_dw
+            qkv = qkv.astype(self.dtype)
         q, k, v = jnp.split(qkv, [h * d, (h + h_k) * d], axis=-1)
         slopes = self._alibi_slopes() if self.use_alibi else None
 

@@ -50,6 +50,7 @@ class TrainConfig:
     data_parallel: int = 1
     model_parallel: int = 1
     zero1: bool = True
+    ema_decay: float = 0.0   # 0 disables (reference callbacks/ema.py)
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 500
     log_every: int = 10
@@ -105,8 +106,10 @@ class Trainer:
                     self._zero1_put, self.opt_state)
 
         model = self.model
+        self.ema_params = (jax.tree_util.tree_map(jnp.copy, self.params)
+                           if cfg.ema_decay > 0 else None)
 
-        def train_step(params, opt_state, input_ids, labels):
+        def train_step(params, opt_state, input_ids, labels, ema):
             def loss_fn(p):
                 logits = model.apply({"params": p}, input_ids)
                 return cross_entropy_loss(logits, labels)
@@ -115,7 +118,12 @@ class Trainer:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             gnorm = optax.global_norm(grads)
-            return params, opt_state, loss, gnorm
+            if ema is not None:
+                d = cfg.ema_decay
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1 - d) * p.astype(e.dtype),
+                    ema, params)
+            return params, opt_state, loss, gnorm, ema
 
         self._step = jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -149,9 +157,10 @@ class Trainer:
             with jax.set_mesh(self.mesh):
                 for _ in range(steps):
                     inp, lab = next(it)
-                    self.params, self.opt_state, loss, gnorm = self._step(
+                    (self.params, self.opt_state, loss, gnorm,
+                     self.ema_params) = self._step(
                         self.params, self.opt_state,
-                        jnp.asarray(inp), jnp.asarray(lab))
+                        jnp.asarray(inp), jnp.asarray(lab), self.ema_params)
                     self.step_count += 1
                     if self.step_count % cfg.log_every == 0:
                         loss_v = float(loss)

@@ -90,3 +90,20 @@ def test_gpt_alibi_window_variants():
     variables = model.init(jax.random.PRNGKey(0), ids)
     logits = model.apply({"params": variables["params"]}, ids)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_mha_dwconv():
+    """Depthwise-conv MHA variant runs and is causal (output at position t
+    unaffected by inputs beyond t+0 in the conv window)."""
+    from flash_attn_tpu.modules.mha import MHA
+    mha = MHA(embed_dim=64, num_heads=4, causal=True, dwconv=True,
+              dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 64))
+    params = mha.init(jax.random.PRNGKey(1), x)["params"]
+    out = mha.apply({"params": params}, x)
+    assert out.shape == (2, 32, 64)
+    # causality: perturbing the last token must not change earlier outputs
+    x2 = x.at[:, -1].add(1.0)
+    out2 = mha.apply({"params": params}, x2)
+    np.testing.assert_allclose(np.asarray(out[:, :-1]),
+                               np.asarray(out2[:, :-1]), atol=1e-5)
