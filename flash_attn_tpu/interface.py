@@ -40,15 +40,17 @@ def _use_interpret() -> bool:
 # custom_vjp boundary.
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13),
+    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
 )
 def _flash_attn(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
                 softmax_scale, causal, window_size, softcap,
-                attention_chunk, sink_token_length, deterministic, dropout_p):
+                attention_chunk, sink_token_length, deterministic, dropout_p,
+                score_mod, mask_mod):
     out, _ = _flash_attn_fwd_res(
         q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         softmax_scale, causal, window_size, softcap,
         attention_chunk, sink_token_length, deterministic, dropout_p,
+        score_mod, mask_mod,
     )
     return out
 
@@ -56,7 +58,7 @@ def _flash_attn(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
 def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
                         softmax_scale, causal, window_size, softcap,
                         attention_chunk, sink_token_length, deterministic,
-                        dropout_p):
+                        dropout_p, score_mod=None, mask_mod=None):
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
@@ -72,6 +74,8 @@ def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         softcap=softcap,
         attention_chunk=attention_chunk,
         sink_token_length=sink_token_length,
+        score_mod=score_mod,
+        mask_mod=mask_mod,
         interpret=_use_interpret(),
     )
     out = jnp.swapaxes(out_t, 1, 2)
@@ -80,7 +84,7 @@ def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
 
 def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
                     attention_chunk, sink_token_length, deterministic,
-                    dropout_p, residuals, g):
+                    dropout_p, score_mod, mask_mod, residuals, g):
     q, k, v, alibi_slopes, learnable_sink, dropout_seed, out, lse = residuals
     dq, dk, dv = flash_attention_bwd(
         jnp.swapaxes(g, 1, 2),
@@ -99,6 +103,8 @@ def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
         softcap=softcap,
         attention_chunk=attention_chunk,
         sink_token_length=sink_token_length,
+        score_mod=score_mod,
+        mask_mod=mask_mod,
         interpret=_use_interpret(),
     )
     dq = jnp.swapaxes(dq, 1, 2).astype(q.dtype)
@@ -135,6 +141,8 @@ def flash_attn_func(
     k_descale=None,
     v_descale=None,
     qv=None,  # (b, sq, h, dv) — MLA extra query term (inference only)
+    score_mod=None,  # fn(scores, b, h, rows, cols) — differentiable
+    mask_mod=None,   # fn(b, h, rows, cols) -> bool keep
 ):
     """Drop-in analogue of the reference ``flash_attn_func``
     (flash_attn/flash_attn_interface.py:1156).
@@ -184,6 +192,7 @@ def flash_attn_func(
         q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         softmax_scale, causal, window_size, softcap,
         attention_chunk, sink_token_length, deterministic, dropout_p,
+        score_mod, mask_mod,
     )
     if return_attn_probs:
         # The reference returns (out, lse, S_dmask); the dropout mask is
@@ -192,6 +201,7 @@ def flash_attn_func(
             q, k, v, alibi_slopes, learnable_sink, dropout_seed,
             softmax_scale, causal, window_size, softcap,
             attention_chunk, sink_token_length, deterministic, dropout_p,
+            score_mod, mask_mod,
         )
         return out, res[-1]
     return out

@@ -37,18 +37,16 @@ NEG_INF = float("-inf")
 
 def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
                  window_left, window_right, attention_chunk,
-                 sink_token_length, seqlen_k, shift, slope):
+                 sink_token_length, seqlen_k, shift, slope,
+                 score_mod=None, mask_mod=None, b_idx=None, h_idx=None):
     """Recompute the masked base-2 score block s2 (block_q, block_k) exactly
-    as the forward kernel built it, plus the softcap tanh factor if needed."""
+    as the forward kernel built it. Returns (s2, ds_chain) where ds_chain
+    maps dL/d(modified scores) back to dL/d(raw scaled scores) — identity
+    unless softcap or a score_mod applies (both are pointwise maps whose
+    vjp is traced inline)."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    dtanh = None
-    if softcap > 0.0:
-        t = jnp.tanh(s / softcap)
-        dtanh = 1.0 - t * t
-        s = t * softcap
-    s2 = s * LOG2E
 
     rows = i * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0
@@ -56,6 +54,17 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
     cols = j * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1
     )
+
+    dtanh = None
+    mod_vjp = None
+    if softcap > 0.0:
+        t = jnp.tanh(s / softcap)
+        dtanh = 1.0 - t * t
+        s = t * softcap
+    if score_mod is not None:
+        s, mod_vjp = jax.vjp(
+            lambda x: score_mod(x, b_idx, h_idx, rows, cols), s)
+    s2 = s * LOG2E
     if slope is not None:
         if causal:
             bias = (cols - (seqlen_k - 1)).astype(jnp.float32)
@@ -66,6 +75,7 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
     needs_mask = (
         causal or window_right is not None or window_left is not None
         or attention_chunk > 0 or (seqlen_k % block_k != 0)
+        or mask_mod is not None
     )
     if needs_mask:
         valid = jnp.ones((block_q, block_k), dtype=jnp.bool_)
@@ -85,10 +95,20 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
             )
         if seqlen_k % block_k != 0:
             valid = jnp.logical_and(valid, cols < seqlen_k)
+        if mask_mod is not None:
+            valid = jnp.logical_and(valid, mask_mod(b_idx, h_idx, rows, cols))
         s2 = jnp.where(valid, s2, NEG_INF)
         if dtanh is not None:
             dtanh = jnp.where(valid, dtanh, 0.0)
-    return s2, dtanh
+
+    def ds_chain(ds):
+        if mod_vjp is not None:
+            ds = mod_vjp(ds)[0]
+        if dtanh is not None:
+            ds = ds * dtanh
+        return ds
+
+    return s2, ds_chain
 
 
 def _q_block_bounds(j, block_q, block_k, shift, num_q_blocks, causal,
@@ -118,7 +138,7 @@ def _q_block_bounds(j, block_q, block_k, shift, num_q_blocks, causal,
 def _dkdv_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_q_blocks,
                  group, scale, softcap, causal, window_left, window_right,
                  attention_chunk, sink_token_length, has_alibi, dropout_p,
-                 num_heads, k_dtype, v_dtype):
+                 num_heads, score_mod, mask_mod, k_dtype, v_dtype):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
     slopes_ref = refs.pop(0) if has_alibi else None
@@ -161,11 +181,13 @@ def _dkdv_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_q_blocks,
             q = jnp.where(rv < seqlen_q, q, 0)
             do = jnp.where(rv < seqlen_q, do, 0)
 
-        s2, dtanh = _scores_log2(
+        s2, ds_chain = _scores_log2(
             q, k, i, n, block_q, block_k, scale=scale, softcap=softcap,
             causal=causal, window_left=window_left, window_right=window_right,
             attention_chunk=attention_chunk, sink_token_length=sink_token_length,
             seqlen_k=seqlen_k, shift=shift, slope=slope,
+            score_mod=score_mod, mask_mod=mask_mod,
+            b_idx=b_idx, h_idx=hk_idx * group + g,
         )
         lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
         p = jnp.exp2(s2 - lse2_safe)  # (bq, bk); masked -> 0
@@ -195,9 +217,7 @@ def _dkdv_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_q_blocks,
         )
         if dropout_p > 0.0:
             dp = jnp.where(keep, dp, 0.0) * scale_keep
-        ds = p * (dp - delta)
-        if dtanh is not None:
-            ds = ds * dtanh
+        ds = ds_chain(p * (dp - delta))
         if row_pad:
             ds = jnp.where(rv < seqlen_q, ds, 0)
         # dK += dS^T Q * scale
@@ -215,7 +235,7 @@ def _dkdv_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_q_blocks,
 def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
                scale, softcap, causal, window_left, window_right,
                attention_chunk, sink_token_length, has_alibi, dropout_p,
-               num_heads, q_dtype):
+               num_heads, score_mod, mask_mod, q_dtype):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
     slopes_ref = refs.pop(0) if has_alibi else None
@@ -256,11 +276,12 @@ def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
         slope = (slopes_ref[b_idx, h_idx]
                  if has_alibi else None)
 
-        s2, dtanh = _scores_log2(
+        s2, ds_chain = _scores_log2(
             q, k, i, j, block_q, block_k, scale=scale, softcap=softcap,
             causal=causal, window_left=window_left, window_right=window_right,
             attention_chunk=attention_chunk, sink_token_length=sink_token_length,
             seqlen_k=seqlen_k, shift=shift, slope=slope,
+            score_mod=score_mod, mask_mod=mask_mod, b_idx=b_idx, h_idx=h_idx,
         )
         lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
         p = jnp.exp2(s2 - lse2_safe)
@@ -275,9 +296,7 @@ def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
             keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_idx,
                                 drows, dcols, dropout_p)
             dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_p))
-        ds = p * (dp - delta)
-        if dtanh is not None:
-            ds = ds * dtanh
+        ds = ds_chain(p * (dp - delta))
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -293,7 +312,7 @@ def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
     static_argnames=(
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
-        "interpret", "dropout_p",
+        "interpret", "dropout_p", "score_mod", "mask_mod",
     ),
 )
 def flash_attention_bwd(
@@ -315,6 +334,8 @@ def flash_attention_bwd(
     sink_token_length: int = 0,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    score_mod=None,
+    mask_mod=None,
     interpret: bool = False,
 ):
     """Returns (dq, dk, dv) in the kernel layout (b, h[, h_k], s, d), fp32."""
@@ -350,6 +371,7 @@ def flash_attention_bwd(
         attention_chunk=attention_chunk, sink_token_length=sink_token_length,
         has_alibi=alibi_slopes is not None,
         dropout_p=dropout_p, num_heads=h,
+        score_mod=score_mod, mask_mod=mask_mod,
     )
     seed_arr = (jnp.asarray(dropout_seed, jnp.uint32).reshape(1, 1)
                 if dropout_p > 0.0 else None)

@@ -78,3 +78,41 @@ def test_score_mod_with_causal():
     ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_score_mod_backward():
+    """Grad through a differentiable score_mod matches autodiff of the dense
+    reference (the reference's call_score_mod_bwd, cute/softmax.py:55)."""
+    from flash_attn_tpu import flash_attn_func
+
+    b, s, h, d = 1, 192, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d))
+    g = jax.random.normal(jax.random.PRNGKey(3), (b, s, h, d))
+
+    def score_mod(scores, bi, hi, rows, cols):
+        return jnp.tanh(scores) - 0.01 * jnp.abs(rows - cols).astype(jnp.float32)
+
+    def loss_kernel(q, k, v):
+        out = flash_attn_func(q, k, v, causal=True, score_mod=score_mod)
+        return (out * g).sum()
+
+    dq, dk, dv = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        scale = 1.0 / math.sqrt(d)
+        sc = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        rows = jnp.arange(s)[:, None]
+        cols = jnp.arange(s)[None, :]
+        sc = jnp.tanh(sc) - 0.01 * jnp.abs(rows - cols)[None, None]
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        sc = jnp.where(mask[None, None], sc, -jnp.inf)
+        p = jax.nn.softmax(sc, -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        return (out * g).sum()
+
+    dq_r, dk_r, dv_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in [("dq", dq, dq_r), ("dk", dk, dk_r), ("dv", dv, dv_r)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
