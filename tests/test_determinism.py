@@ -1,0 +1,63 @@
+"""Determinism / race tests: repeated runs must be bitwise identical
+(reference tests/test_flash_attn.py:2199 test_flash_attn_race_condition —
+re-run 30x and compare; on TPU determinism is by construction since there
+are no atomics, and these tests pin that contract)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attn_func, flash_attn_varlen_func
+from flash_attn_tpu.utils.padding import unpad_input
+
+
+REPEATS = 10
+
+
+def test_fwd_bwd_bitwise_deterministic():
+    b, s, h, d = 2, 384, 4, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d)).astype(jnp.bfloat16)
+    g = jax.random.normal(jax.random.PRNGKey(3), (b, s, h, d)).astype(jnp.bfloat16)
+
+    f = jax.jit(lambda q, k, v: flash_attn_func(q, k, v, causal=True))
+    grad = jax.jit(jax.grad(
+        lambda q, k, v: (flash_attn_func(q, k, v, causal=True)
+                         .astype(jnp.float32) * g.astype(jnp.float32)).sum(),
+        argnums=(0, 1, 2)))
+
+    out0 = np.asarray(f(q, k, v))
+    dq0, dk0, dv0 = (np.asarray(x) for x in grad(q, k, v))
+    for _ in range(REPEATS):
+        np.testing.assert_array_equal(np.asarray(f(q, k, v)), out0)
+        dq, dk, dv = grad(q, k, v)
+        np.testing.assert_array_equal(np.asarray(dq), dq0)
+        np.testing.assert_array_equal(np.asarray(dk), dk0)
+        np.testing.assert_array_equal(np.asarray(dv), dv0)
+
+
+def test_varlen_bitwise_deterministic():
+    b, s, h, d = 2, 256, 4, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d)).astype(jnp.bfloat16)
+    mask = jnp.arange(s)[None, :] < jnp.array([200, 131])[:, None]
+    q_un, _, cu, ms, _ = unpad_input(q, mask)
+
+    f = jax.jit(lambda x: flash_attn_varlen_func(
+        x, x, x, cu, cu, ms, ms, causal=True))
+    out0 = np.asarray(f(q_un))
+    for _ in range(REPEATS):
+        np.testing.assert_array_equal(np.asarray(f(q_un)), out0)
+
+
+def test_dropout_deterministic_given_seed():
+    """Same rng key -> bitwise-identical dropout pattern across runs."""
+    b, s, h, d = 1, 256, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d)).astype(jnp.bfloat16)
+    rng = jax.random.PRNGKey(11)
+    f = jax.jit(lambda x: flash_attn_func(x, x, x, dropout_p=0.3, causal=True,
+                                          dropout_rng=rng))
+    out0 = np.asarray(f(q))
+    for _ in range(REPEATS):
+        np.testing.assert_array_equal(np.asarray(f(q)), out0)
