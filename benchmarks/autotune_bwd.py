@@ -3,6 +3,8 @@
 import itertools
 import time
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 

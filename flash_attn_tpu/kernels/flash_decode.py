@@ -247,6 +247,34 @@ def flash_attention_decode(
 ):
     """Returns (out (b, sq, h, dv), lse (b, h, sq) fp32)."""
     b, sq, h, d = q.shape
+    # Bound per-call SMEM: page tables + per-batch scalars live in SMEM and
+    # large (batch x pages) tables degrade the scalar core; chunk the batch.
+    max_tab = 256
+    tab_entries = b * (block_table.shape[1] if block_table is not None else 1)
+    if tab_entries > max_tab and b > 1:
+        chunk = max(1, max_tab // max(1, tab_entries // b))
+        outs, lses = [], []
+        for lo in range(0, b, chunk):
+            hi = min(b, lo + chunk)
+            o, l = flash_attention_decode(
+                q[lo:hi], k_cache, v_cache, cache_seqlens[lo:hi],
+                block_table=None if block_table is None else block_table[lo:hi],
+                cache_batch_idx=(None if cache_batch_idx is None
+                                 else cache_batch_idx[lo:hi]),
+                cache_leftpad=(None if cache_leftpad is None
+                               else cache_leftpad[lo:hi]),
+                alibi_slopes=(None if alibi_slopes is None
+                              else alibi_slopes[lo:hi]),
+                q_descale=None if q_descale is None else q_descale[lo:hi],
+                k_descale=None if k_descale is None else k_descale[lo:hi],
+                v_descale=None if v_descale is None else v_descale[lo:hi],
+                softmax_scale=softmax_scale, causal=causal,
+                window_size=window_size, softcap=softcap,
+                num_splits=num_splits, block_k=block_k, interpret=interpret,
+            )
+            outs.append(o)
+            lses.append(l)
+        return jnp.concatenate(outs), jnp.concatenate(lses)
     paged = block_table is not None
     if paged:
         num_pages, h_k, page_size, _ = k_cache.shape
