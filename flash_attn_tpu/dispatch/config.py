@@ -71,12 +71,12 @@ def get_bwd_config(
     causal: bool,
     dtype_bits: int = 16,
 ) -> BwdConfig:
-    if head_dim <= 64:
-        bq, bk = 512, 512
-    elif head_dim <= 128:
-        bq, bk = 256, 256
+    # Measured on v5e (benchmarks/autotune_bwd.py, seq4k causal d128):
+    # (1024,512) -> 91.6 TF/s vs (256,256) -> 61.6.
+    if head_dim <= 128:
+        bq, bk = 1024, 512
     else:
-        bq, bk = 128, 256
+        bq, bk = 512, 512
     return BwdConfig(
         block_q=_round_block(seqlen_q, bq, 128),
         block_k=_round_block(seqlen_k, bk, 128),

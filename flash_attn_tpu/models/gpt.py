@@ -53,6 +53,8 @@ class GPTConfig:
     norm_epsilon: float = 1e-5
     tie_word_embeddings: bool = True
     max_decode_seqlen: int = 2048
+    paged_kv_num_pages: int = 0   # >0: paged decode cache via page pool
+    paged_kv_page_size: int = 128
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -98,6 +100,8 @@ def _mixer_factory(cfg: GPTConfig):
         window_size=cfg.window_size,
         softcap=cfg.softcap,
         max_decode_seqlen=cfg.max_decode_seqlen,
+        paged_kv_num_pages=cfg.paged_kv_num_pages,
+        paged_kv_page_size=cfg.paged_kv_page_size,
         dtype=cfg.dtype,
         name="mixer",
     )

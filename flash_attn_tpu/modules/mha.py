@@ -91,6 +91,8 @@ class MHA(nn.Module):
     use_alibi: bool = False
     dwconv: bool = False  # causal depthwise conv on qkv (reference mha.py dwconv)
     max_decode_seqlen: int = 2048  # cache allocation length
+    paged_kv_num_pages: int = 0    # >0: paged decode cache (page pool)
+    paged_kv_page_size: int = 128
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -121,6 +123,7 @@ class MHA(nn.Module):
         mode: str = "train",  # "train" | "prefill" | "decode"
         slot_ids=None,          # (b,) cache rows for continuous batching
         prefill_lengths=None,   # (b,) true prompt lengths (padded prefill)
+        block_table=None,       # (b, max_pages) for the paged decode cache
     ):
         decode = mode == "decode"
         prefill = mode == "prefill"
@@ -183,16 +186,20 @@ class MHA(nn.Module):
                                        self.rotary_emb_base,
                                        self.rotary_emb_interleaved)
 
+            paged = self.paged_kv_num_pages > 0
+
+            def _cache_shape():
+                if paged:
+                    return (self.paged_kv_num_pages, h_k,
+                            self.paged_kv_page_size, d)
+                return (b, h_k, self.max_decode_seqlen, d)
+
             if decode:
                 # incremental decoding against the cache collection
                 kcache = self.variable(
-                    "cache", "k",
-                    lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
-                                      self.dtype))
+                    "cache", "k", lambda: jnp.zeros(_cache_shape(), self.dtype))
                 vcache = self.variable(
-                    "cache", "v",
-                    lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
-                                      self.dtype))
+                    "cache", "v", lambda: jnp.zeros(_cache_shape(), self.dtype))
                 offset = self.variable(
                     "cache", "offset", lambda: jnp.zeros((b,), jnp.int32))
                 cos = sin = None
@@ -203,6 +210,7 @@ class MHA(nn.Module):
                     rotary_cos=cos, rotary_sin=sin,
                     rotary_interleaved=self.rotary_emb_interleaved,
                     cache_seqlens=offset.value, causal=self.causal,
+                    block_table=block_table,
                     window_size=self.window_size, softcap=self.softcap,
                     softmax_scale=self.softmax_scale, alibi_slopes=slopes,
                 )
@@ -226,22 +234,36 @@ class MHA(nn.Module):
                 if prefill:
                     # fill the decode cache with the (already-rotated) keys
                     from flash_attn_tpu.cache.kvcache import kv_cache_update
+                    paged = self.paged_kv_num_pages > 0
+                    if paged:
+                        shape = (self.paged_kv_num_pages, h_k,
+                                 self.paged_kv_page_size, d)
+                    else:
+                        shape = (b, h_k, self.max_decode_seqlen, d)
                     kcache = self.variable(
-                        "cache", "k",
-                        lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
-                                          self.dtype))
+                        "cache", "k", lambda: jnp.zeros(shape, self.dtype))
                     vcache = self.variable(
-                        "cache", "v",
-                        lambda: jnp.zeros((b, h_k, self.max_decode_seqlen, d),
-                                          self.dtype))
-                    n_slots = kcache.value.shape[0]
+                        "cache", "v", lambda: jnp.zeros(shape, self.dtype))
+                    if paged:
+                        n_slots = (block_table.shape[0]
+                                   if block_table is not None else b)
+                    elif slot_ids is not None:
+                        n_slots = kcache.value.shape[0]
+                    else:
+                        n_slots = b
                     offset = self.variable(
                         "cache", "offset",
                         lambda: jnp.zeros((n_slots,), jnp.int32))
                     write_offsets = jnp.zeros((b,), jnp.int32)
+                    bt = None
+                    if paged:
+                        assert block_table is not None
+                        bt = (block_table if slot_ids is None
+                              else block_table[slot_ids])
                     k_new, v_new = kv_cache_update(
                         kcache.value, vcache.value, k, v, write_offsets,
-                        cache_batch_idx=slot_ids)
+                        block_table=bt,
+                        cache_batch_idx=None if paged else slot_ids)
                     kcache.value = k_new
                     vcache.value = v_new
                     lengths = (jnp.full((b,), s, jnp.int32)

@@ -20,7 +20,7 @@ import numpy as np
 
 from flash_attn_tpu.serving.generation import GenerationConfig, sample_token
 
-__all__ = ["InferenceEngine", "Request"]
+__all__ = ["InferenceEngine", "PagePool", "Request"]
 
 
 @dataclasses.dataclass
@@ -33,14 +33,46 @@ class Request:
     done: bool = False
 
 
+class PagePool:
+    """Free-list page allocator for the paged KV cache (the vLLM-style
+    memory manager the reference leaves to external engines)."""
+
+    def __init__(self, num_pages: int, page_size: int, max_pages_per_seq: int,
+                 max_batch: int):
+        self.page_size = page_size
+        self.free = list(range(num_pages))
+        self.table = np.zeros((max_batch, max_pages_per_seq), np.int32)
+        self.pages_of: Dict[int, List[int]] = {}
+
+    def alloc(self, slot: int, tokens_needed: int) -> bool:
+        """Ensure slot has pages covering tokens_needed; False if OOM."""
+        have = len(self.pages_of.get(slot, []))
+        need = -(-tokens_needed // self.page_size)
+        if need > self.table.shape[1]:
+            return False
+        while have < need:
+            if not self.free:
+                return False
+            pg = self.free.pop()
+            self.pages_of.setdefault(slot, []).append(pg)
+            self.table[slot, have] = pg
+            have += 1
+        return True
+
+    def release(self, slot: int):
+        self.free.extend(self.pages_of.pop(slot, []))
+
+
 class InferenceEngine:
     def __init__(self, model, params, max_batch: int, gen_cfg: GenerationConfig,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 page_pool: Optional[PagePool] = None):
         self.model = model
         self.params = params
         self.B = max_batch
         self.cfg = gen_cfg
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.pool = page_pool
 
         self.queue: deque = deque()
         self.requests: Dict[int, Request] = {}
@@ -50,23 +82,25 @@ class InferenceEngine:
         self._next_id = 0
         self.cache = None
 
-        def _decode_step(params, cache, toks, rng):
+        def _decode_step(params, cache, toks, rng, block_table):
+            kw = {} if block_table is None else {"block_table": block_table}
             logits, state = self.model.apply(
                 {"params": params, "cache": cache}, toks, mode="decode",
-                mutable=["cache"])
+                mutable=["cache"], **kw)
             rng, key = jax.random.split(rng)
             nxt = sample_token(logits[:, -1], key, self.cfg)
             return nxt, state["cache"], rng
 
         self._decode = jax.jit(_decode_step)
 
-        def _prefill(params, cache, ids, slot_ids, lengths, rng):
+        def _prefill(params, cache, ids, slot_ids, lengths, rng, block_table):
             variables = {"params": params}
             if cache is not None:
                 variables["cache"] = cache
+            kw = {} if block_table is None else {"block_table": block_table}
             logits, state = self.model.apply(
                 variables, ids, mode="prefill", mutable=["cache"],
-                slot_ids=slot_ids, prefill_lengths=lengths)
+                slot_ids=slot_ids, prefill_lengths=lengths, **kw)
             # logits at each prompt's true last position
             last = jnp.take_along_axis(
                 logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
@@ -104,12 +138,19 @@ class InferenceEngine:
 
         self.cache = jax.tree_util.tree_map_with_path(fix, self.cache)
 
+    def _table(self):
+        return None if self.pool is None else jnp.asarray(self.pool.table)
+
     def _init_cache(self):
         # allocate the cache collection by tracing a B-batch prefill
         ids = jnp.zeros((self.B, 8), jnp.int32)
+        kw = {}
+        if self.pool is not None:
+            kw["block_table"] = jnp.asarray(self.pool.table)
         _, state = self.model.apply(
             {"params": self.params}, ids, mode="prefill", mutable=["cache"],
-            slot_ids=jnp.arange(self.B), prefill_lengths=jnp.zeros((self.B,), jnp.int32))
+            slot_ids=jnp.arange(self.B),
+            prefill_lengths=jnp.zeros((self.B,), jnp.int32), **kw)
         self.cache = state["cache"]
         self._set_inactive_offsets_zero()
 
@@ -126,7 +167,15 @@ class InferenceEngine:
         free = self._free_slots()
         admit: List[Tuple[int, Request]] = []
         while free and self.queue:
-            admit.append((free.pop(0), self.queue.popleft()))
+            req = self.queue[0]
+            slot = free[0]
+            if self.pool is not None and not self.pool.alloc(
+                    slot, len(req.prompt) + req.max_new_tokens):
+                self.pool.release(slot)
+                break  # out of pages: wait for completions
+            free.pop(0)
+            self.queue.popleft()
+            admit.append((slot, req))
         if admit:
             max_len = max(len(r.prompt) for _, r in admit)
             ids = np.zeros((len(admit), max_len), np.int32)
@@ -140,7 +189,8 @@ class InferenceEngine:
                 self.slot_new[slot] = 0
             nxt, self.cache, self.rng = self._prefill(
                 self.params, self.cache, jnp.asarray(ids),
-                jnp.asarray(slot_ids), jnp.asarray(lengths), self.rng)
+                jnp.asarray(slot_ids), jnp.asarray(lengths), self.rng,
+                self._table())
             nxt = np.asarray(nxt)
             for j, (slot, req) in enumerate(admit):
                 tok = int(nxt[j])
@@ -154,7 +204,7 @@ class InferenceEngine:
         if any(r is not None for r in self.slots):
             toks = jnp.asarray(self.slot_tok[:, None])
             nxt, self.cache, self.rng = self._decode(
-                self.params, self.cache, toks, self.rng)
+                self.params, self.cache, toks, self.rng, self._table())
             nxt = np.asarray(nxt)
             for slot, req in enumerate(self.slots):
                 if req is None:
@@ -175,6 +225,8 @@ class InferenceEngine:
                 self.slot_new[slot] >= req.max_new_tokens):
             req.done = True
             self.slots[slot] = None
+            if self.pool is not None:
+                self.pool.release(slot)
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Run until queue + slots drain; returns {req_id: generated}."""

@@ -63,3 +63,42 @@ def test_engine_slot_reuse_and_mixed_lengths(model_and_params):
         assert len(results[rid]) == m
         expect = _reference_generation(model, params, prompt, m)
         assert results[rid] == expect
+
+
+def test_engine_paged_matches_linear(model_and_params):
+    """Paged-cache engine (page pool, dynamic allocation, page recycling)
+    produces exactly the same outputs as the linear-cache engine."""
+    import dataclasses
+    from flash_attn_tpu.serving.engine import PagePool
+
+    model_lin, params = model_and_params
+    cfg_lin = model_lin.config
+    page_size = 16
+    max_pages_per_seq = (cfg_lin.max_decode_seqlen + page_size - 1) // page_size
+    num_pages = 2 * max_pages_per_seq + 2  # tight pool: forces recycling
+    cfg_paged = dataclasses.replace(
+        cfg_lin, paged_kv_num_pages=num_pages,
+        paged_kv_page_size=page_size)
+    from flash_attn_tpu.models.gpt import GPTLMHeadModel
+    model_paged = GPTLMHeadModel(cfg_paged)
+
+    rng = np.random.default_rng(3)
+    jobs = [(rng.integers(0, 96, size=n).tolist(), m)
+            for n, m in [(5, 8), (7, 6), (3, 10), (6, 4)]]
+
+    eng_lin = InferenceEngine(model_lin, params, max_batch=2,
+                              gen_cfg=GenerationConfig(top_k=1))
+    ids1 = [eng_lin.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_lin = eng_lin.run()
+
+    pool = PagePool(num_pages, page_size, max_pages_per_seq, max_batch=2)
+    eng_paged = InferenceEngine(model_paged, params, max_batch=2,
+                                gen_cfg=GenerationConfig(top_k=1),
+                                page_pool=pool)
+    ids2 = [eng_paged.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_paged = eng_paged.run()
+
+    for r1, r2 in zip(ids1, ids2):
+        assert res_lin[r1] == res_paged[r2], (res_lin[r1], res_paged[r2])
+    # pages were recycled back to the pool
+    assert len(pool.free) == num_pages

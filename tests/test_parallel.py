@@ -110,3 +110,28 @@ def test_ring_attention_backward(causal):
     for name, a, bb in [("dq", dq, dq_r), ("dk", dk, dk_r), ("dv", dv, dv_r)]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_tp_generation_matches_single_device():
+    """Greedy decode with TP-sharded params == unsharded decode (reference
+    tests/models/test_gpt_generation_parallel.py)."""
+    from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+    from flash_attn_tpu.parallel.sharding import shard_params
+    from flash_attn_tpu.serving.generation import GenerationConfig, decode
+
+    cfg = GPTConfig(
+        vocab_size=128, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+        rotary_emb_fraction=1.0, use_rms_norm=True, glu_act=True,
+        tie_word_embeddings=True, max_decode_seqlen=32, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 5), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((2, 8), jnp.int32))["params"]
+    gen = GenerationConfig(max_length=14, top_k=1)
+    ref_seqs, _ = decode(ids, model, params, gen)
+
+    mesh = make_mesh(data=1, model=4)
+    with jax.set_mesh(mesh):
+        params_sh = shard_params(params, mesh)
+        tp_seqs, _ = decode(ids, model, params_sh, gen)
+    np.testing.assert_array_equal(np.asarray(tp_seqs), np.asarray(ref_seqs))
