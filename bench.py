@@ -122,10 +122,24 @@ def bench_decode_fp8_paged():
     kd = jnp.ones((b, h_k), jnp.float32)
     vd = jnp.ones((b, h_k), jnp.float32)
 
-    fn = jax.jit(lambda q: flash_attn_with_kvcache(
-        q, kp, vp, cache_seqlens=seqlens, block_table=table, causal=True,
-        k_descale=kd, v_descale=vd))
-    t = bench_fn(fn, q)
+    # The axon relay costs ~0.5ms per dispatch and ~30ms per fetch, which
+    # swamps sub-ms decode steps; loop N steps ON DEVICE instead.
+    N = 50
+
+    def steps(q):
+        def body(i, carry):
+            acc, q = carry
+            out = flash_attn_with_kvcache(
+                q, kp, vp, cache_seqlens=seqlens, block_table=table,
+                causal=True, k_descale=kd, v_descale=vd)
+            # data-dependence so XLA cannot hoist the loop body
+            return acc + out[0, 0, 0, 0].astype(jnp.float32), q + 1e-6
+        acc, _ = jax.lax.fori_loop(0, N, body, (jnp.float32(0), q))
+        return acc
+
+    fn = jax.jit(steps)
+    t_total = bench_fn(fn, q, iters=3, warmup=1)
+    t = t_total / N
     return b / t, t  # attention-step tokens/s (one token per sequence)
 
 

@@ -47,10 +47,13 @@ def _decode_kernel(
     batch_idx_ref,  # (b,) cache row per batch entry
     page_tab_ref,  # (b, max_tiles) page table in kv-tile units (or dummy)
     *refs,
-    block_k, rows_pad, seqlen_q, group, num_splits, max_tiles,
+    block_k, rows_pad, seqlen_q, group, num_splits, max_tiles, num_heads_kv,
     scale_log2, softcap, causal, window_left, window_right,
     has_alibi, paged, num_pages, has_descale,
 ):
+    """All KV heads are processed per grid step: one strided DMA fetches the
+    (h_k, block_k, d) slab (8x fewer, 8x larger transfers than per-head
+    fetching), and a static per-head loop runs the online softmax."""
     refs = list(refs)
     slopes_ref = refs.pop(0) if has_alibi else None
     descale_ref = refs.pop(0) if has_descale else None  # (3, b, h_k) SMEM
@@ -58,8 +61,8 @@ def _decode_kernel(
      kbuf, vbuf, sems, acc, m_s, l_s) = refs
 
     b_idx = pl.program_id(0)
-    kh = pl.program_id(1)
-    split = pl.program_id(2)
+    split = pl.program_id(1)
+    H = num_heads_kv
 
     sk = seqlens_ref[b_idx]
     leftpad = leftpad_ref[b_idx]
@@ -78,12 +81,12 @@ def _decode_kernel(
         if paged:
             page = jnp.clip(page_tab_ref[b_idx, jnp.minimum(t, max_tiles - 1)],
                             0, num_pages - 1)
-            src_k = kc_ref.at[page, kh]
-            src_v = vc_ref.at[page, kh]
+            src_k = kc_ref.at[page]
+            src_v = vc_ref.at[page]
         else:
             off = pl.multiple_of(t * block_k, block_k)
-            src_k = kc_ref.at[row, kh, pl.ds(off, block_k)]
-            src_v = vc_ref.at[row, kh, pl.ds(off, block_k)]
+            src_k = kc_ref.at[row, :, pl.ds(off, block_k)]
+            src_v = vc_ref.at[row, :, pl.ds(off, block_k)]
         ck = pltpu.make_async_copy(src_k, kbuf.at[slot], sems.at[slot, 0])
         cv = pltpu.make_async_copy(src_v, vbuf.at[slot], sems.at[slot, 1])
         return ck, cv
@@ -94,33 +97,23 @@ def _decode_kernel(
         ck.start()
         cv.start()
 
-    q = q_ref[0, 0]  # (rows_pad, d)
-    if has_descale:
-        # quantized (FP8/INT8) KV pages: dequantize after the DMA; scalar
-        # descales fold into the softmax scale and epilogue (reference FP8
-        # kvcache semantics, hopper/flash.h:54-62)
-        qd = descale_ref[0, b_idx, kh]
-        kd = descale_ref[1, b_idx, kh]
-        q = q.astype(jnp.bfloat16)
-    qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
+    qs_all = []
+    for kh in range(H):
+        qh = q_ref[0, kh]  # (rows_pad, d)
+        if has_descale:
+            qh = qh.astype(jnp.bfloat16)
+        qs_all.append((qh.astype(jnp.float32) * scale_log2).astype(qh.dtype))
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 1)
     tok = rows_i // group
     shift = sk_eff - seqlen_q
-    slope = slopes_ref[0, 0] if has_alibi else None  # (rows_pad, 1)
 
     def tile_compute(t, slot):
         # NOTE: buffer/semaphore slots are STATIC python ints — dynamic
-        # slot indexing of DMA semaphores hits a catastrophic slow path in
-        # the runtime (measured ~4s per wait); the caller unrolls by 2.
+        # slot indexing hits a catastrophic runtime slow path.
         ck, cv = k_dma(slot, t)
         ck.wait()
         cv.wait()
-        k = kbuf[slot]
-        v = vbuf[slot]
-        if has_descale:
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
 
         cols = t * block_k + cols_i
         pos_k = cols - leftpad
@@ -131,57 +124,65 @@ def _decode_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
             + t * block_k >= leftpad,
         )
-        v = jnp.where(vmask, v, 0)
-
-        if softcap > 0.0:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (scale_log2 / LOG2E)
-            tt = jnp.tanh(s / softcap)
-            s2 = tt * softcap * LOG2E
-        else:
-            s2 = jax.lax.dot_general(
-                qs, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if has_descale:
-                s2 = s2 * (qd * kd)
-
-        if has_alibi:
-            if causal:
-                bias = (pos_k - (sk_eff - 1)).astype(jnp.float32)
-            else:
-                bias = -jnp.abs(tok + shift - pos_k).astype(jnp.float32)
-            s2 = s2 + slope * LOG2E * bias
-
-        valid = col_ok
         wr = 0 if causal else window_right
+        valid = col_ok
         if causal or wr is not None:
             valid = jnp.logical_and(valid, pos_k <= tok + shift + wr)
         if window_left is not None:
             valid = jnp.logical_and(valid, pos_k >= tok + shift - window_left)
-        s2 = jnp.where(valid, s2, NEG_INF)
 
-        m_prev = m_s[...]
-        l_prev = l_s[...]
-        row_max = jnp.max(s2, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, jnp.broadcast_to(row_max, m_prev.shape))
-        m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
-        p = jnp.exp2(s2 - m_safe[:, :1])
-        corr = jnp.exp2(m_prev - m_safe)
-        row_sum = jnp.sum(p, axis=-1, keepdims=True)
-        l_s[...] = l_prev * corr + jnp.broadcast_to(row_sum, l_prev.shape)
-        m_s[...] = m_new
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc[...] = acc[...] * corr[:, :1] + pv
+        for kh in range(H):
+            k = kbuf[slot, kh]
+            v = vbuf[slot, kh]
+            if has_descale:
+                k = k.astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16)
+            v = jnp.where(vmask, v, 0)
 
-    # Unroll-by-2 pipeline with static slots: pair p handles tiles
-    # (t_lo+2p) in slot 0 and (t_lo+2p+1) in slot 1, prefetching the next
-    # pair's tiles while computing.
+            if softcap > 0.0:
+                sraw = jax.lax.dot_general(
+                    qs_all[kh], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (1.0 / LOG2E)
+                tt = jnp.tanh(sraw / softcap)
+                s2 = tt * softcap * LOG2E
+            else:
+                s2 = jax.lax.dot_general(
+                    qs_all[kh], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if has_descale:
+                    s2 = s2 * (descale_ref[0, b_idx, kh]
+                               * descale_ref[1, b_idx, kh])
+
+            if has_alibi:
+                slope = slopes_ref[0, kh]  # (rows_pad, 1)
+                if causal:
+                    bias = (pos_k - (sk_eff - 1)).astype(jnp.float32)
+                else:
+                    bias = -jnp.abs(tok + shift - pos_k).astype(jnp.float32)
+                s2 = s2 + slope * LOG2E * bias
+
+            s2 = jnp.where(valid, s2, NEG_INF)
+
+            m_prev = m_s[kh]
+            l_prev = l_s[kh]
+            row_max = jnp.max(s2, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev,
+                                jnp.broadcast_to(row_max, m_prev.shape))
+            m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+            p = jnp.exp2(s2 - m_safe[:, :1])
+            corr = jnp.exp2(m_prev - m_safe)
+            row_sum = jnp.sum(p, axis=-1, keepdims=True)
+            l_s[kh] = l_prev * corr + jnp.broadcast_to(row_sum, l_prev.shape)
+            m_s[kh] = m_new
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc[kh] = acc[kh] * corr[:, :1] + pv
+
+    # Unroll-by-2 pipeline with static slots.
     def pair_body(p2, _):
         t0 = t_lo + 2 * p2
 
@@ -208,14 +209,15 @@ def _decode_kernel(
     num_pairs = (t_hi - t_lo + 1) // 2
     jax.lax.fori_loop(0, num_pairs, pair_body, 0)
 
-    m = m_s[:, :1]
-    l = l_s[:, :1]
-    lse = m * LN2 + jnp.log(l)  # -inf when the split saw nothing
-    inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
-    if has_descale:
-        inv_l = inv_l * descale_ref[2, b_idx, kh]
-    outp_ref[0, 0, 0] = acc[...] * inv_l
-    lsep_ref[0, 0, 0] = lse
+    for kh in range(H):
+        m = m_s[kh][:, :1]
+        l = l_s[kh][:, :1]
+        lse = m * LN2 + jnp.log(l)  # -inf when the split saw nothing
+        inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if has_descale:
+            inv_l = inv_l * descale_ref[2, b_idx, kh]
+        outp_ref[0, 0, kh] = acc[kh] * inv_l
+        lsep_ref[0, 0, kh] = lse
 
 
 @functools.partial(
@@ -247,6 +249,29 @@ def flash_attention_decode(
 ):
     """Returns (out (b, sq, h, dv), lse (b, h, sq) fp32)."""
     b, sq, h, d = q.shape
+    # Manual HBM->VMEM DMA requires 128-lane-aligned head dims (MLA absorbed
+    # 576 is not); pad here. Serving stacks should allocate caches padded to
+    # avoid this per-call copy.
+    dv_in = v_cache.shape[-1]
+    d_pad = _round_up(d, 128)
+    dv_pad = _round_up(dv_in, 128)
+    if d_pad != d or dv_pad != dv_in:
+        q = jnp.pad(q, ((0, 0),) * 3 + ((0, d_pad - d),))
+        k_cache = jnp.pad(k_cache, ((0, 0),) * 3 + ((0, d_pad - d),))
+        if dv_pad != dv_in:
+            v_cache = jnp.pad(v_cache, ((0, 0),) * 3 + ((0, dv_pad - dv_in),))
+        if softmax_scale is None:
+            softmax_scale = 1.0 / math.sqrt(d)
+        out, lse = flash_attention_decode(
+            q, k_cache, v_cache, cache_seqlens, block_table=block_table,
+            cache_batch_idx=cache_batch_idx, cache_leftpad=cache_leftpad,
+            alibi_slopes=alibi_slopes, q_descale=q_descale,
+            k_descale=k_descale, v_descale=v_descale,
+            softmax_scale=softmax_scale, causal=causal,
+            window_size=window_size, softcap=softcap, num_splits=num_splits,
+            block_k=block_k, interpret=interpret,
+        )
+        return out[..., :dv_in], lse
     # Bound per-call SMEM: page tables + per-batch scalars live in SMEM and
     # large (batch x pages) tables degrade the scalar core; chunk the batch.
     max_tab = 256
@@ -327,7 +352,7 @@ def flash_attention_decode(
                  + jnp.minimum(r, group - 1)[None, :])
         slopes_packed = alibi_slopes.astype(jnp.float32)[:, heads]
         in_specs.append(pl.BlockSpec(
-            (1, 1, rows_pad, 1), lambda b_, kh, s, *_: (b_, kh, 0, 0)))
+            (1, h_k, rows_pad, 1), lambda b_, s, *_: (b_, 0, 0, 0)))
         inputs.append(slopes_packed[..., None])
     has_descale = (q_descale is not None or k_descale is not None
                    or v_descale is not None)
@@ -338,11 +363,11 @@ def flash_attention_decode(
             ones if k_descale is None else k_descale.astype(jnp.float32),
             ones if v_descale is None else v_descale.astype(jnp.float32),
         ])
-        in_specs.append(pl.BlockSpec((3, b, h_k), lambda b_, kh, s, *_: (0, 0, 0),
+        in_specs.append(pl.BlockSpec((3, b, h_k), lambda b_, s, *_: (0, 0, 0),
                                      memory_space=pltpu.SMEM))
         inputs.append(descale)
     in_specs += [
-        pl.BlockSpec((1, 1, rows_pad, d), lambda b_, kh, s, *_: (b_, kh, 0, 0)),
+        pl.BlockSpec((1, h_k, rows_pad, d), lambda b_, s, *_: (b_, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),      # k cache stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),      # v cache stays in HBM
     ]
@@ -350,28 +375,28 @@ def flash_attention_decode(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, h_k, num_splits),
+        grid=(b, num_splits),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1, rows_pad, dv),
-                         lambda b_, kh, s, *_: (s, b_, kh, 0, 0)),
-            pl.BlockSpec((1, 1, 1, rows_pad, 1),
-                         lambda b_, kh, s, *_: (s, b_, kh, 0, 0)),
+            pl.BlockSpec((1, 1, h_k, rows_pad, dv),
+                         lambda b_, s, *_: (s, b_, 0, 0, 0)),
+            pl.BlockSpec((1, 1, h_k, rows_pad, 1),
+                         lambda b_, s, *_: (s, b_, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, bk, d), k_cache.dtype),   # K double buffer
-            pltpu.VMEM((2, bk, dv), v_cache.dtype),  # V double buffer
+            pltpu.VMEM((2, h_k, bk, d), k_cache.dtype),   # K double buffer
+            pltpu.VMEM((2, h_k, bk, dv), v_cache.dtype),  # V double buffer
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((rows_pad, dv), jnp.float32),
-            pltpu.VMEM((rows_pad, 128), jnp.float32),
-            pltpu.VMEM((rows_pad, 128), jnp.float32),
+            pltpu.VMEM((h_k, rows_pad, dv), jnp.float32),
+            pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
+            pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
         ],
     )
 
     kernel = functools.partial(
         _decode_kernel,
         block_k=bk, rows_pad=rows_pad, seqlen_q=sq, group=group,
-        num_splits=num_splits, max_tiles=max_tiles,
+        num_splits=num_splits, max_tiles=max_tiles, num_heads_kv=h_k,
         scale_log2=softmax_scale * LOG2E, softcap=softcap, causal=causal,
         window_left=window_left, window_right=window_right,
         has_alibi=alibi_slopes is not None, paged=paged, num_pages=num_pages,
@@ -388,7 +413,7 @@ def flash_attention_decode(
                                  jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(seqlens, leftpad, bidx, ptab, *inputs)

@@ -215,20 +215,11 @@ def _fwd_kernel(
                         valid, mask_mod(b_idx, h_idx, rows, cols))
                 return jnp.where(valid, s2, NEG_INF)
 
-            causal_only = (
-                causal and window_left is None and attention_chunk == 0
-                and sink_token_length == 0 and mask_mod is None
-                and seqlen_k % block_k == 0
-            )
-            if causal_only:
-                # interior blocks (fully below the diagonal) skip the mask
-                # build — the analogue of the reference's Is_causal
-                # full-block fast path (mask.h unmasked iterations)
-                crosses_diag = (j * block_k + block_k - 1) > (
-                    i * block_q + shift)
-                s2 = jax.lax.cond(crosses_diag, _apply_mask, lambda x: x, s2)
-            else:
-                s2 = _apply_mask(s2)
+            # NOTE: an lax.cond diagonal-block fast path was tried here and
+            # REGRESSED causal throughput 85 -> 54 TF/s on v5e (the cond
+            # breaks Mosaic's software pipelining); unconditional masking is
+            # faster.
+            s2 = _apply_mask(s2)
 
         m_prev = m_s[...]  # (block_q, 128), lane-replicated
         l_prev = l_s[...]
