@@ -133,7 +133,15 @@ def flash_attn_with_kvcache(
 
     sk_eff = cache_seqlens + s_new
     if num_splits <= 0:
-        num_splits = 1
+        # reference heuristic analogue (flash_api.cpp:281): fill the chip's
+        # TensorCores. v5e has one core per chip so this resolves to 1; on
+        # Megacore parts (v4/v5p) the decode grid doubles via splits.
+        from flash_attn_tpu.dispatch.config import num_splits_heuristic
+        num_cores = 2 if "v4" in str(
+            jax.devices()[0].device_kind).lower() or "v5p" in str(
+            jax.devices()[0].device_kind).lower() else 1
+        s_max_tiles = max(1, k_cache.shape[2] // 512)
+        num_splits = num_splits_heuristic(b, num_cores, s_max_tiles)
 
     interpret = jax.default_backend() == "cpu"
     out, lse = flash_attention_decode(
