@@ -224,7 +224,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "softmax_scale", "causal", "window_size", "softcap", "num_splits",
-        "block_k", "interpret",
+        "block_k", "interpret", "out_fp32",
     ),
 )
 def flash_attention_decode(
@@ -246,6 +246,7 @@ def flash_attention_decode(
     num_splits: int = 1,
     block_k: Optional[int] = None,
     interpret: bool = False,
+    out_fp32: bool = False,
 ):
     """Returns (out (b, sq, h, dv), lse (b, h, sq) fp32)."""
     b, sq, h, d = q.shape
@@ -269,37 +270,89 @@ def flash_attention_decode(
             k_descale=k_descale, v_descale=v_descale,
             softmax_scale=softmax_scale, causal=causal,
             window_size=window_size, softcap=softcap, num_splits=num_splits,
-            block_k=block_k, interpret=interpret,
+            block_k=block_k, interpret=interpret, out_fp32=out_fp32,
         )
         return out[..., :dv_in], lse
+    # Mosaic compile blows up with wide page tables (>16 pages/seq measured
+    # >20min); for single-token decode, chop the context into <=16-page
+    # chunks treated as extra split-KV partials (exact: combine merges by
+    # the LSE algebra).
+    max_tiles_per_kernel = 16
+    if (block_table is not None and sq == 1
+            and block_table.shape[1] > max_tiles_per_kernel
+            and block_table.shape[1] % max_tiles_per_kernel == 0
+            # position-dependent features don't survive per-chunk
+            # re-basing; fall through to the direct path for those
+            and window_size == (None, None) and cache_leftpad is None
+            and alibi_slopes is None):
+        page_size = k_cache.shape[2]
+        ns = block_table.shape[1] // max_tiles_per_kernel
+        chunk_tok = max_tiles_per_kernel * page_size
+        bt = block_table.reshape(b * ns, max_tiles_per_kernel)
+        # per-chunk effective lengths
+        base = jnp.arange(ns, dtype=jnp.int32) * chunk_tok
+        sl = jnp.clip(cache_seqlens[:, None] - base[None, :], 0, chunk_tok)
+        sl = sl.reshape(b * ns)
+        rep = lambda x: (None if x is None
+                         else jnp.repeat(x, ns, axis=0))
+        qrep = jnp.repeat(q, ns, axis=0)
+        out_p, lse_p = flash_attention_decode(
+            qrep, k_cache, v_cache, sl, block_table=bt,
+            cache_batch_idx=None, cache_leftpad=rep(cache_leftpad),
+            alibi_slopes=rep(alibi_slopes), q_descale=rep(q_descale),
+            k_descale=rep(k_descale), v_descale=rep(v_descale),
+            softmax_scale=softmax_scale, causal=False,  # sq=1: length bound
+            window_size=window_size, softcap=softcap, num_splits=num_splits,
+            block_k=block_k, interpret=interpret, out_fp32=True,
+        )
+        # (b*ns, 1, h, dv) fp32 partials -> combine over ns, round once.
+        # lse axes must mirror out's leading axes exactly: (ns, b, 1, h).
+        out_c = out_p.reshape(b, ns, 1, h, -1).transpose(1, 0, 2, 3, 4)
+        lse_c = lse_p.reshape(b, ns, h, 1).transpose(1, 0, 3, 2)
+        out, lse = combine_splits(out_c, lse_c)
+        lse = jnp.swapaxes(lse, 1, 2)  # (b, 1, h) -> (b, h, sq=1)
+        final_dtype = jnp.float32 if out_fp32 else (
+            jnp.bfloat16 if (q_descale is not None or k_descale is not None
+                             or v_descale is not None) else q.dtype)
+        return out.astype(final_dtype), lse
+
     # Bound per-call SMEM: page tables + per-batch scalars live in SMEM and
-    # large (batch x pages) tables degrade the scalar core; chunk the batch.
-    max_tab = 256
-    tab_entries = b * (block_table.shape[1] if block_table is not None else 1)
-    if tab_entries > max_tab and b > 1:
-        chunk = max(1, max_tab // max(1, tab_entries // b))
-        outs, lses = [], []
-        for lo in range(0, b, chunk):
-            hi = min(b, lo + chunk)
-            o, l = flash_attention_decode(
-                q[lo:hi], k_cache, v_cache, cache_seqlens[lo:hi],
-                block_table=None if block_table is None else block_table[lo:hi],
-                cache_batch_idx=(None if cache_batch_idx is None
-                                 else cache_batch_idx[lo:hi]),
-                cache_leftpad=(None if cache_leftpad is None
-                               else cache_leftpad[lo:hi]),
-                alibi_slopes=(None if alibi_slopes is None
-                              else alibi_slopes[lo:hi]),
-                q_descale=None if q_descale is None else q_descale[lo:hi],
-                k_descale=None if k_descale is None else k_descale[lo:hi],
-                v_descale=None if v_descale is None else v_descale[lo:hi],
+    # large (batch x pages) tables blow up the Mosaic compile superlinearly
+    # (128 entries ~40s, 256 entries 6+ min measured); chunk the batch with
+    # lax.map so the kernel is instantiated (and compiled) ONCE.
+    max_tab = 128
+    per_b = block_table.shape[1] if block_table is not None else 1
+    if b * per_b > max_tab and b > 1:
+        chunk = 1
+        for c in range(1, b):
+            if b % c == 0 and c * per_b <= max_tab:
+                chunk = c
+        nc = b // chunk
+
+        def piece(args):
+            (qc, slc, btc, bic, lpc, asc, qdc, kdc, vdc) = args
+            return flash_attention_decode(
+                qc, k_cache, v_cache, slc,
+                block_table=btc, cache_batch_idx=bic, cache_leftpad=lpc,
+                alibi_slopes=asc, q_descale=qdc, k_descale=kdc, v_descale=vdc,
                 softmax_scale=softmax_scale, causal=causal,
                 window_size=window_size, softcap=softcap,
                 num_splits=num_splits, block_k=block_k, interpret=interpret,
+                out_fp32=out_fp32,
             )
-            outs.append(o)
-            lses.append(l)
-        return jnp.concatenate(outs), jnp.concatenate(lses)
+
+        def split(x):
+            return (None if x is None
+                    else x.reshape((nc, chunk) + x.shape[1:]))
+
+        outs, lses = jax.lax.map(piece, (
+            split(q), split(cache_seqlens), split(block_table),
+            split(cache_batch_idx), split(cache_leftpad),
+            split(alibi_slopes), split(q_descale), split(k_descale),
+            split(v_descale),
+        ))
+        return (outs.reshape((b,) + outs.shape[2:]),
+                lses.reshape((b,) + lses.shape[2:]))
     paged = block_table is not None
     if paged:
         num_pages, h_k, page_size, _ = k_cache.shape
@@ -421,7 +474,8 @@ def flash_attention_decode(
     out_p, lse_p = combine_splits(outp, lsep[..., 0])
     out_p = out_p[:, :, :rows]
     lse_p = lse_p[:, :, :rows]
-    out_dtype = jnp.bfloat16 if has_descale else q.dtype
+    out_dtype = jnp.float32 if out_fp32 else (
+        jnp.bfloat16 if has_descale else q.dtype)
     out = out_p.reshape(b, h_k, sq, group, dv).transpose(0, 2, 1, 3, 4).reshape(
         b, sq, h, dv
     ).astype(out_dtype)

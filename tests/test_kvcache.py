@@ -232,3 +232,57 @@ def test_kvcache_local_window():
     ref_lp = _ref_decode(q, k_b, v_b, cache_seqlens, True,
                          window_size=(64, 0), upcast=False)
     check_against_ref(out, ref, ref_lp, msg="kvcache window")
+
+
+def test_kvcache_paged_batch_chunking():
+    """Large (batch x pages) tables route through the lax.map chunking path
+    and must match the unchunked small-batch result."""
+    b, h, h_k, d = 8, 4, 2, 64
+    page_size, ppseq = 128, 64  # b*ppseq = 512 > 256 -> chunked
+    s_max = page_size * ppseq
+    num_pages = b * ppseq
+    q = _mk(jax.random.PRNGKey(0), (b, 1, h, d))
+    kp = _mk(jax.random.PRNGKey(1), (num_pages, h_k, page_size, d))
+    vp = _mk(jax.random.PRNGKey(2), (num_pages, h_k, page_size, d))
+    table = jnp.arange(num_pages, dtype=jnp.int32).reshape(b, ppseq)
+    cache_seqlens = jnp.array([500, 120, 1000, 333, 700, 64, 900, 257],
+                              jnp.int32)
+
+    out = flash_attn_with_kvcache(
+        q, kp, vp, cache_seqlens=cache_seqlens, block_table=table,
+        causal=True)
+    # reference: per-batch unchunked calls
+    for i in range(b):
+        o1 = flash_attn_with_kvcache(
+            q[i:i+1], kp, vp, cache_seqlens=cache_seqlens[i:i+1],
+            block_table=table[i:i+1], causal=True)
+        np.testing.assert_allclose(np.asarray(out[i:i+1], np.float32),
+                                   np.asarray(o1, np.float32),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_kvcache_paged_long_context_chunking():
+    """ppseq > 16 routes through the context-split + combine path; must
+    equal a manual page-gather reference."""
+    b, h, h_k, d = 2, 4, 2, 64
+    page_size, ppseq = 128, 32   # > 16 -> context-split path
+    s_max = page_size * ppseq
+    num_pages = b * ppseq
+    q = _mk(jax.random.PRNGKey(0), (b, 1, h, d))
+    kp = _mk(jax.random.PRNGKey(1), (num_pages, h_k, page_size, d))
+    vp = _mk(jax.random.PRNGKey(2), (num_pages, h_k, page_size, d))
+    table = jnp.arange(num_pages, dtype=jnp.int32).reshape(b, ppseq)
+    cache_seqlens = jnp.array([4000, 1111], jnp.int32)
+
+    out, lse = flash_attn_with_kvcache(
+        q, kp, vp, cache_seqlens=cache_seqlens, block_table=table,
+        causal=True, return_softmax_lse=True)
+
+    k_lin = (kp[table].reshape(b, ppseq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    v_lin = (vp[table].reshape(b, ppseq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    ref = _ref_decode(q, k_lin, v_lin, cache_seqlens, True)
+    ref_lp = _ref_decode(q, k_lin, v_lin, cache_seqlens, True, upcast=False)
+    check_against_ref(out, ref, ref_lp, msg="long-ctx paged")
+    assert lse.shape == (b, h, 1)
