@@ -19,3 +19,19 @@ import jax  # noqa: E402
 # import so tests always run on the virtual 8-device CPU backend.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The full suite compiles hundreds of kernel configs; without clearing,
+    the single pytest process eventually segfaults inside the XLA CPU
+    compiler (reproducibly on the last module at ~10GB of retained
+    executables). Dropping compiled programs between modules caps memory."""
+    yield
+    jax.clear_caches()
+    gc.collect()
