@@ -52,6 +52,17 @@ class GPTConfig:
     resid_dropout: float = 0.0
     norm_epsilon: float = 1e-5
     tie_word_embeddings: bool = True
+    # muP transfer scalars (reference models/gpt.py:65,431,596-598, consumed
+    # by the btlm adapter): embeddings multiplier on the embedding output,
+    # output_multiplier*width_scale on the logits, and 1/d (instead of
+    # 1/sqrt(d)) attention scaling.
+    mup_width_scale: float = 1.0
+    mup_embeddings_multiplier: float = 1.0
+    mup_output_multiplier: float = 1.0
+    mup_scale_qk_dot_by_d: bool = False
+    # L2-normalize lm_head columns before the logit matmul (baichuan-v2
+    # NormHead; reference models/gpt.py:612,657).
+    norm_head: bool = False
     max_decode_seqlen: int = 2048
     paged_kv_num_pages: int = 0   # >0: paged decode cache via page pool
     paged_kv_page_size: int = 128
@@ -86,10 +97,12 @@ class _Embeddings(nn.Module):
 def _mixer_factory(cfg: GPTConfig):
     head_dim = cfg.n_embd // cfg.n_head
     rotary_dim = int(head_dim * cfg.rotary_emb_fraction)
+    softmax_scale = 1.0 / head_dim if cfg.mup_scale_qk_dot_by_d else None
     return lambda: MHA(
         embed_dim=cfg.n_embd,
         num_heads=cfg.n_head,
         num_heads_kv=cfg.n_head_kv,
+        softmax_scale=softmax_scale,
         qkv_proj_bias=cfg.qkv_proj_bias,
         out_proj_bias=cfg.out_proj_bias,
         causal=True,
@@ -166,6 +179,8 @@ class GPTModel(nn.Module):
                  deterministic: bool = True, **mixer_kwargs):
         cfg = self.config
         hidden = self.embeddings(input_ids, position_ids)
+        if cfg.mup_embeddings_multiplier != 1.0:
+            hidden = hidden * cfg.mup_embeddings_multiplier
         if cfg.embd_dropout > 0 and not deterministic:
             hidden = nn.Dropout(cfg.embd_dropout, deterministic=False)(
                 hidden, rng=self.make_rng("dropout"))
@@ -188,21 +203,48 @@ class GPTModel(nn.Module):
         return self.embeddings.attend(hidden)
 
 
+class _NormHead(nn.Module):
+    """Untied lm_head whose kernel columns are L2-normalized at apply time
+    (baichuan-v2 NormHead — reference models/gpt.py:657's normalize branch).
+    Param layout matches nn.Dense ("kernel") so checkpoint remaps are
+    identical either way."""
+    vocab_size: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.vocab_size), jnp.float32)
+        norm = jnp.maximum(jnp.linalg.norm(kernel, axis=0, keepdims=True),
+                           1e-12)
+        return x @ (kernel / norm).astype(self.dtype)
+
+
 class GPTLMHeadModel(nn.Module):
     config: GPTConfig
 
     def setup(self):
         self.transformer = GPTModel(self.config)
         if not self.config.tie_word_embeddings:
-            self.lm_head = nn.Dense(self.config.vocab_size, use_bias=False,
-                                    dtype=self.config.dtype)
+            if self.config.norm_head:
+                self.lm_head = _NormHead(self.config.vocab_size,
+                                         self.config.dtype)
+            else:
+                self.lm_head = nn.Dense(self.config.vocab_size,
+                                        use_bias=False,
+                                        dtype=self.config.dtype)
 
     def __call__(self, input_ids, position_ids=None, mode: str = "train",
                  deterministic: bool = True, **mixer_kwargs):
+        cfg = self.config
         hidden = self.transformer(input_ids, position_ids, mode=mode,
                                   deterministic=deterministic, **mixer_kwargs)
-        if self.config.tie_word_embeddings:
+        if cfg.tie_word_embeddings:
             logits = self.transformer.attend(hidden)
         else:
             logits = self.lm_head(hidden)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        output_scale = cfg.mup_output_multiplier * cfg.mup_width_scale
+        if output_scale != 1.0:
+            logits = logits * output_scale
+        return logits
