@@ -8,7 +8,9 @@ Lightning ``SequenceModel``, training/src/tasks/seq.py:20), TPU-native:
  - ZeRO-1-style optimizer-state sharding (training/src/utils/ddp_zero1.py):
    Adam moments are sharded over the data axis by annotating their pytree
    with a data-axis sharding, so each data-parallel group holds 1/dp of the
-   optimizer state;
+   optimizer state; ``zero2=True`` additionally constrains gradients to the
+   same data-axis sharding inside the step, so XLA lowers the DP gradient
+   reduction to reduce-scatter and all-gathers the param update;
  - fault tolerance (training/src/callbacks/model_checkpoint.py:14
    fault_tolerant=True): checkpoint includes the data-sampler RNG+counter
    state and saves on exception; resume is exact-batch;
@@ -50,6 +52,7 @@ class TrainConfig:
     data_parallel: int = 1
     model_parallel: int = 1
     zero1: bool = True
+    zero2: bool = False      # also shard gradients over the data axis
     ema_decay: float = 0.0   # 0 disables (reference callbacks/ema.py)
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 500
@@ -102,12 +105,26 @@ class Trainer:
                 jax.device_put, params, shardings)
             self.opt_state = self.tx.init(self.params)
             if cfg.zero1 and cfg.data_parallel > 1:
-                self.opt_state = jax.tree_util.tree_map(
-                    self._zero1_put, self.opt_state)
+                zero_shardings = jax.tree_util.tree_map(
+                    self._zero_sharding, self.params, shardings)
+                self.opt_state = self._shard_moments(
+                    self.opt_state, zero_shardings,
+                    jax.tree_util.tree_structure(self.params))
 
         model = self.model
         self.ema_params = (jax.tree_util.tree_map(jnp.copy, self.params)
                            if cfg.ema_decay > 0 else None)
+
+        # ZeRO-2 (reference training/src/utils/ddp_zero1.py's reduce-scatter
+        # upgrade): constrain gradients to a data-axis sharding inside the
+        # step so XLA lowers the DP gradient reduction to reduce-scatter, the
+        # optimizer update runs on 1/dp of each tensor, and the param update
+        # all-gathers — no hand-written collectives.
+        use_zero2 = cfg.zero2 and cfg.data_parallel > 1
+        if use_zero2:
+            grad_shardings = jax.tree_util.tree_map(
+                self._zero_sharding, self.params, shardings)
+            param_shardings = shardings
 
         def train_step(params, opt_state, input_ids, labels, ema):
             def loss_fn(p):
@@ -115,8 +132,15 @@ class Trainer:
                 return cross_entropy_loss(logits, labels)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            if use_zero2:
+                grads = jax.lax.with_sharding_constraint(
+                    grads, grad_shardings)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if use_zero2:
+                # the all-gather back to the params' own sharding
+                params = jax.lax.with_sharding_constraint(
+                    params, param_shardings)
             gnorm = optax.global_norm(grads)
             if ema is not None:
                 d = cfg.ema_decay
@@ -127,21 +151,35 @@ class Trainer:
 
         self._step = jax.jit(train_step, donate_argnums=(0, 1))
 
-    def _zero1_put(self, x):
-        """Shard optimizer moments over the data axis (ZeRO-1): first axis
-        divisible by dp gets split; small tensors stay replicated."""
+    def _zero_sharding(self, p, sharding):
+        """ZeRO moment/gradient sharding: the param's own (TP) spec with
+        "data" added on the first unsharded axis divisible by dp; tensors
+        with no such axis keep the param sharding (stay DP-replicated).
+        Keeping the model axis avoids SPMD's involuntary full
+        rematerialization when moments and params disagree on TP layout."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if not hasattr(x, "shape") or x.ndim == 0:
-            return x
         dp = self.cfg.data_parallel
-        for axis, dim in enumerate(x.shape):
-            if dim % dp == 0 and dim >= dp:
-                spec = [None] * x.ndim
+        spec = list(sharding.spec) + [None] * (p.ndim - len(sharding.spec))
+        for axis, dim in enumerate(p.shape):
+            if spec[axis] is None and dim % dp == 0 and dim >= dp:
                 spec[axis] = "data"
-                return jax.device_put(
-                    x, NamedSharding(self.mesh, P(*spec)))
-        return x
+                return NamedSharding(self.mesh, P(*spec))
+        return sharding
+
+    def _shard_moments(self, state, zero_shardings, param_treedef):
+        """Recursively device_put every params-shaped subtree of the
+        optimizer state (Adam mu/nu) onto the ZeRO shardings; scalars
+        (step counts) and empty states pass through."""
+        if jax.tree_util.tree_structure(state) == param_treedef:
+            return jax.tree_util.tree_map(
+                jax.device_put, state, zero_shardings)
+        if isinstance(state, tuple):
+            children = [self._shard_moments(c, zero_shardings, param_treedef)
+                        for c in state]
+            return (type(state)(*children) if hasattr(state, "_fields")
+                    else tuple(children))
+        return state
 
     # ------------------------------------------------------------------
     def fit(self, dataloader, steps: Optional[int] = None,

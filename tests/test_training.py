@@ -101,3 +101,32 @@ def test_train_steps_and_resume(tmp_path, token_file):
     p1 = jax.tree_util.tree_leaves(trainer.params)[0]
     p2 = jax.tree_util.tree_leaves(trainer2.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_zero2_matches_baseline(token_file):
+    """ZeRO-2 (data-axis-sharded grads, reduce-scatter + all-gather) must be
+    numerically equivalent to the replicated-gradient step."""
+    def run(zero2):
+        cfg = TrainConfig(
+            model=GPTConfig(
+                vocab_size=128, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+                rotary_emb_fraction=1.0, use_rms_norm=True, glu_act=True,
+                max_decode_seqlen=64, dtype=jnp.float32,
+            ),
+            batch_size=4, seqlen=128, lr=1e-3, warmup_steps=2, total_steps=20,
+            data_parallel=4, model_parallel=2, zero1=True, zero2=zero2,
+            log_every=1, seed=7,
+        )
+        ds = TokenDataset(token_file, seqlen=cfg.seqlen)
+        loader = LMDataLoader(ds, cfg.batch_size)
+        trainer = Trainer(cfg)
+        logs = []
+        trainer.fit(loader, steps=4, log_fn=logs.append)
+        return [l["loss"] for l in logs], trainer
+
+    base, _ = run(False)
+    z2, trainer = run(True)
+    np.testing.assert_allclose(z2, base, rtol=1e-4, atol=1e-5)
+    # params stay correctly sharded after the all-gather constraint
+    wqkv = trainer.params["transformer"]["layers_0"]["mixer"]["Wqkv"]["kernel"]
+    assert "model" in str(wqkv.sharding.spec)
