@@ -19,6 +19,7 @@ from flash_attn_tpu.cache.kvcache import (
     kv_cache_update,
 )
 from flash_attn_tpu.kernels.flash_decode import combine_splits as flash_attn_combine
+from flash_attn_tpu.dispatch.scheduler_metadata import get_scheduler_metadata
 
 __all__ = [
     "flash_attn_func",
@@ -30,4 +31,5 @@ __all__ = [
     "flash_attn_with_kvcache",
     "flash_attn_combine",
     "kv_cache_update",
+    "get_scheduler_metadata",
 ]
