@@ -11,7 +11,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["unpad_input", "pad_input"]
+__all__ = ["unpad_input", "pad_input",
+           "unpad_input_for_concatenated_sequences", "index_first_axis"]
 
 
 def unpad_input(
@@ -58,3 +59,53 @@ def pad_input(packed, indices, batch: int, seqlen: int):
     n_valid = packed.shape[0]
     flat = flat.at[indices[:n_valid]].set(packed)
     return flat.reshape((batch, seqlen) + packed.shape[1:])
+
+
+def unpad_input_for_concatenated_sequences(
+    hidden_states,              # (b, s, ...)
+    attention_mask_in_length,   # (b, s) int: nonzero entries are lengths of
+                                # the sequences concatenated into that row
+    max_segments: Optional[int] = None,
+):
+    """Packed-sample unpadding (reference bert_padding.py:131): each batch
+    row holds several short samples back-to-back; returns flat hidden states
+    plus per-SAMPLE cu_seqlens so the varlen kernels mask samples from each
+    other.
+
+    Returns (packed, indices, cu_seqlens, max_seqlen). With
+    ``max_segments=None`` the segment count is read eagerly (host-side, like
+    the reference's ``nonzero``); pass a static bound to stay jittable —
+    cu_seqlens is then (max_segments+1,) padded with repeated totals
+    (zero-length segments, which the kernels accept).
+    """
+    b, s = attention_mask_in_length.shape
+    lengths = attention_mask_in_length.reshape(-1).astype(jnp.int32)
+    if max_segments is None:
+        import numpy as np
+        nz = np.asarray(lengths)
+        nz = nz[nz > 0]
+        seqlens = jnp.asarray(nz, jnp.int32)
+        max_seqlen = int(nz.max()) if nz.size else 0
+    else:
+        order = jnp.argsort(lengths == 0, stable=True)
+        seqlens = lengths[order][:max_segments]
+        max_seqlen = int(s)
+    cu_seqlens = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(seqlens)]).astype(jnp.int32)
+
+    row_total = attention_mask_in_length.sum(-1)
+    token_mask = jnp.arange(s)[None, :] < row_total[:, None]
+    indices = jnp.argsort(~token_mask.reshape(-1), stable=True)
+    flat = hidden_states.reshape((b * s,) + hidden_states.shape[2:])
+    packed = flat[indices]
+    valid = jnp.arange(b * s) < row_total.sum()
+    packed = jnp.where(
+        valid.reshape((-1,) + (1,) * (packed.ndim - 1)), packed, 0)
+    return packed, indices, cu_seqlens, max_seqlen
+
+
+def index_first_axis(x, indices):
+    """Gather rows of a flattened (b*s, ...) tensor (reference
+    bert_padding.py:8 custom autograd Function — in JAX a plain take with
+    autodiff for free)."""
+    return jnp.take(x, indices, axis=0)

@@ -170,3 +170,46 @@ def test_varlen_backward(causal, mha_type):
                                ("dv", dv, dv_ref, dv_lp)]:
         check_against_ref(got, ref, lp, mult=3.0, atol=1e-4,
                           msg=f"varlen {name} causal={causal} {mha_type}")
+
+
+def test_unpad_input_for_concatenated_sequences():
+    """Reference bert_padding.py:131 docstring example: per-sample
+    cu_seqlens for rows holding concatenated short samples, and varlen
+    attention over them equals per-sample full attention."""
+    from flash_attn_tpu.utils.padding import (
+        unpad_input_for_concatenated_sequences)
+    from flash_attn_tpu.interface import flash_attn_varlen_func
+
+    b, s, h, d = 3, 6, 2, 32
+    mask_len = jnp.asarray([[2, 3, 0, 0, 0, 0],
+                            [3, 2, 0, 0, 0, 0],
+                            [6, 0, 0, 0, 0, 0]], jnp.int32)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+
+    packed, indices, cu, max_sl = unpad_input_for_concatenated_sequences(
+        x, mask_len)
+    np.testing.assert_array_equal(np.asarray(cu), [0, 2, 5, 8, 10, 16])
+    assert max_sl == 6
+    # rows use 5, 5, 6 of 6 slots: valid tokens front-packed, tail zero
+    expect = np.concatenate([np.asarray(x[0, :5]), np.asarray(x[1, :5]),
+                             np.asarray(x[2, :6]),
+                             np.zeros((2, h, d), np.float32)])
+    np.testing.assert_array_equal(np.asarray(packed), expect)
+
+    # jittable variant: static max_segments pads cu with repeated totals
+    _, _, cu_pad, _ = unpad_input_for_concatenated_sequences(
+        x, mask_len, max_segments=8)
+    np.testing.assert_array_equal(np.asarray(cu_pad),
+                                  [0, 2, 5, 8, 10, 16, 16, 16, 16])
+
+    # varlen attention with per-sample cu_seqlens == block-diagonal ref
+    out = flash_attn_varlen_func(packed, packed, packed, cu, cu,
+                                 max_sl, max_sl, causal=True)
+    cu_np = np.asarray(cu)
+    for i in range(len(cu_np) - 1):
+        lo, hi = int(cu_np[i]), int(cu_np[i + 1])
+        seg = packed[lo:hi][None]  # (1, len, h, d)
+        ref = attention_ref(seg, seg, seg, causal=True)[0]
+        np.testing.assert_allclose(np.asarray(out[lo:hi]), np.asarray(ref[0]),
+                                   atol=2e-3, rtol=1e-2)
