@@ -84,6 +84,21 @@ def bench_fwd(peak):
     return flops / t / 1e12, t
 
 
+def bench_fwd_causal(peak):
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+
+    b, h, s, d = 4, 16, 8192, 128
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
+    fn = jax.jit(lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=True, return_lse=True)[0])
+    t = bench_fn(fn, q, k, v)
+    flops = 4.0 * b * h * s * s * d / 2
+    return flops / t / 1e12, t
+
+
 def bench_bwd(peak):
     from flash_attn_tpu import flash_attn_func
 
@@ -169,6 +184,12 @@ def main():
     # Secondary metrics are best-effort: a failure must not lose the
     # headline line (and the decode config is kept conservative until the
     # long-trip-count DMA investigation concludes).
+    try:
+        cfwd_tf, cfwd_t = bench_fwd_causal(peak)
+        result["fwd_causal_tflops"] = round(cfwd_tf, 2)
+        note(f"fwd causal done {cfwd_tf:.1f}")
+    except Exception as e:  # pragma: no cover
+        result["fwd_causal_error"] = f"{type(e).__name__}"
     try:
         bwd_tf, bwd_t = bench_bwd(peak)
         result["bwd_tflops"] = round(bwd_tf, 2)

@@ -1,0 +1,110 @@
+"""Round-2 dev bench: packed-band causal fwd + fused single-pass bwd.
+
+Usage: python benchmarks/r2_kernel_bench.py [fwd|bwd|grad|all] [bq bk]
+Run ONE at a time on the chip (compiles are minutes each, cached after).
+"""
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+
+_fetch = jax.jit(lambda r: jnp.sum(r.astype(jnp.float32)))
+
+
+def bench_fn(fn, *args, iters=20, warmup=2):
+    r = None
+    for _ in range(warmup):
+        r = fn(*args)
+    float(_fetch(r))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    float(_fetch(r))
+    return (time.perf_counter() - t0) / iters
+
+
+def make_qkv(b, h, s, d, dtype=jnp.bfloat16):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    return tuple(jax.random.normal(k, (b, h, s, d), dtype) for k in ks)
+
+
+def fwd_causal(bq=None, bk=None):
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+    b, h, s, d = 4, 16, 8192, 128
+    q, k, v = make_qkv(b, h, s, d)
+    fn = jax.jit(lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=True, return_lse=True, block_q=bq, block_k=bk)[0])
+    t = bench_fn(fn, q, k, v)
+    tf = 4.0 * b * h * s * s * d / 2 / t / 1e12
+    print(f"fwd causal seq8k bq={bq} bk={bk}: {tf:.1f} TF/s ({t*1e3:.2f} ms)",
+          flush=True)
+
+
+def fwd_noncausal():
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+    b, h, s, d = 4, 16, 8192, 128
+    q, k, v = make_qkv(b, h, s, d)
+    fn = jax.jit(lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=False, return_lse=True)[0])
+    t = bench_fn(fn, q, k, v)
+    tf = 4.0 * b * h * s * s * d / t / 1e12
+    print(f"fwd non-causal seq8k: {tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
+
+
+def bwd_fused(bq=None, bk=None, causal=True, s=4096):
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+    from flash_attn_tpu.kernels.flash_bwd_fused import (
+        flash_attention_bwd_fused)
+    b, h, d = 4, 16, 128
+    q, k, v = make_qkv(b, h, s, d)
+    out, lse = jax.jit(lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=causal, return_lse=True))(q, k, v)
+    do = jnp.ones_like(out)
+
+    fn = jax.jit(lambda do, q, k, v, out, lse: flash_attention_bwd_fused(
+        do, q, k, v, out, lse, causal=causal,
+        block_q=bq, block_k=bk)[0])
+    t = bench_fn(fn, do, q, k, v, out, lse)
+    tf = 2.5 * 4.0 * b * h * s * s * d / (2 if causal else 1) / t / 1e12
+    print(f"bwd fused seq{s} causal={causal} bq={bq} bk={bk}: "
+          f"{tf:.1f} TF/s-equiv ({t*1e3:.2f} ms)", flush=True)
+
+
+def grad_program():
+    from flash_attn_tpu import flash_attn_func
+    b, s, h, d = 4, 4096, 16, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h, d), jnp.bfloat16) for kk in ks)
+    g = jax.jit(jax.grad(
+        lambda q, k, v: flash_attn_func(q, k, v, causal=True)
+        .astype(jnp.float32).sum(), argnums=(0, 1, 2)))
+    t = bench_fn(lambda q, k, v: g(q, k, v)[0], q, k, v)
+    tf = 2.5 * 4.0 * b * h * s * s * d / 2 / t / 1e12
+    print(f"grad whole-program seq4k causal: {tf:.1f} TF/s ({t*1e3:.2f} ms)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    bq = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    bk = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    t00 = time.time()
+    if what in ("fwd", "all"):
+        fwd_causal(bq, bk)
+    if what == "fwdnc":
+        fwd_noncausal()
+    if what in ("bwd", "all"):
+        bwd_fused(bq, bk)
+    if what == "bwdnc":
+        bwd_fused(bq, bk, causal=False)
+    if what in ("grad", "all"):
+        grad_program()
+    print(f"total {time.time()-t00:.0f}s", flush=True)

@@ -48,11 +48,15 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
 
+    # Vector iotas ((bq,1) rows / (1,bk) cols): each mask term is ONE
+    # broadcast compare on the (bq,bk) tile instead of the round-1
+    # matrix-iota build — same restructure as the forward kernel's mask
+    # (mask cost was ~1/3 of causal VPU time on v5e).
     rows = i * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0
+        jnp.int32, (block_q, 1), 0
     )
     cols = j * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
+        jnp.int32, (1, block_k), 1
     )
 
     dtanh = None
@@ -62,12 +66,18 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
         dtanh = 1.0 - t * t
         s = t * softcap
     if score_mod is not None:
+        # score_mod/mask_mod get full matrices per their (b, h, rows, cols)
+        # contract.
+        rows_m = jnp.broadcast_to(rows, (block_q, block_k))
+        cols_m = jnp.broadcast_to(cols, (block_q, block_k))
         s, mod_vjp = jax.vjp(
-            lambda x: score_mod(x, b_idx, h_idx, rows, cols), s)
+            lambda x: score_mod(x, b_idx, h_idx, rows_m, cols_m), s)
     s2 = s * LOG2E
     if slope is not None:
         if causal:
-            bias = (cols - (seqlen_k - 1)).astype(jnp.float32)
+            bias = jnp.broadcast_to(
+                (cols - (seqlen_k - 1)).astype(jnp.float32),
+                (block_q, block_k))
         else:
             bias = -jnp.abs(rows + shift - cols).astype(jnp.float32)
         s2 = s2 + slope * LOG2E * bias
@@ -78,25 +88,34 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
         or mask_mod is not None
     )
     if needs_mask:
-        valid = jnp.ones((block_q, block_k), dtype=jnp.bool_)
+        valid = None
+
+        def _and(a, b):
+            return b if a is None else jnp.logical_and(a, b)
+
         wr = 0 if causal else window_right
         if causal or wr is not None:
-            valid = jnp.logical_and(valid, cols <= rows + shift + wr)
+            valid = _and(valid, cols <= rows + (shift + wr))
         if window_left is not None:
-            in_window = cols >= rows + shift - window_left
+            in_window = cols >= rows + (shift - window_left)
             if sink_token_length > 0:
                 in_window = jnp.logical_or(in_window, cols < sink_token_length)
-            valid = jnp.logical_and(valid, in_window)
+            valid = _and(valid, in_window)
         if attention_chunk > 0:
             rs = rows + shift
             limit = rs - rs % attention_chunk
-            valid = jnp.logical_and(
-                valid, jnp.logical_and(cols >= limit, cols < limit + attention_chunk)
+            valid = _and(
+                valid,
+                jnp.logical_and(cols >= limit, cols < limit + attention_chunk),
             )
         if seqlen_k % block_k != 0:
-            valid = jnp.logical_and(valid, cols < seqlen_k)
+            valid = _and(valid, jnp.broadcast_to(
+                cols < seqlen_k, (block_q, block_k)))
         if mask_mod is not None:
-            valid = jnp.logical_and(valid, mask_mod(b_idx, h_idx, rows, cols))
+            rows_m = jnp.broadcast_to(rows, (block_q, block_k))
+            cols_m = jnp.broadcast_to(cols, (block_q, block_k))
+            valid = _and(valid, mask_mod(b_idx, h_idx, rows_m, cols_m))
+        valid = jnp.broadcast_to(valid, (block_q, block_k))
         s2 = jnp.where(valid, s2, NEG_INF)
         if dtanh is not None:
             dtanh = jnp.where(valid, dtanh, 0.0)
@@ -313,6 +332,7 @@ def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
         "interpret", "dropout_p", "score_mod", "mask_mod",
+        "strict_causal",
     ),
 )
 def flash_attention_bwd(
@@ -337,6 +357,7 @@ def flash_attention_bwd(
     score_mod=None,
     mask_mod=None,
     interpret: bool = False,
+    strict_causal: bool = False,  # col < row (striped ring attention)
 ):
     """Returns (dq, dk, dv) in the kernel layout (b, h[, h_k], s, d), fp32."""
     b, h, sq, d = q.shape
@@ -346,6 +367,9 @@ def flash_attention_bwd(
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
     window_left, window_right = normalize_window(window_size)
+    if strict_causal:
+        assert not causal and window_right is None, (causal, window_right)
+        window_right = -1
     del learnable_sink  # only affects lse, already folded in
 
     cfg = get_bwd_config(d, dv_dim, sq, sk, causal)

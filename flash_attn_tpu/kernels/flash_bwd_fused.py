@@ -1,0 +1,365 @@
+"""Fused single-pass flash-attention backward (Pallas TPU).
+
+Round-1 shipped a deterministic *two-kernel* backward (flash_bwd.py): a
+dK/dV kernel and a dQ kernel, each recomputing the score matrix. That costs
+7 big matmuls per (q_tile, kv_tile) pair against the 5 of the reference's
+fused backward (csrc/flash_attn/src/flash_bwd_kernel.h:81
+``compute_dq_dk_dv_1colblock``; hopper/mainloop_bwd_sm90_tma_gmma_ws.hpp) —
+a 1.4x FLOP ceiling before any scheduling effects.
+
+The reference fuses by accumulating dQ with ``atomicAdd`` (or semaphore
+serialization in deterministic mode). TPUs have no global atomics, but a
+v5e core has ~128 MiB of VMEM (measured, benchmarks/vmem_probe.py) — enough
+to keep *full-sequence fp32 accumulators resident*:
+
+    grid (batch, kv_head, group, T)   T = packed (i, n) band, i-major
+      dq_acc  (block_q, d)   — accumulated over n within a row, flushed per i
+      dk_all  (d, seqlen_k)  — accumulated over (g, i, n), DMA'd out per
+      dv_all  (dv, seqlen_k)    (batch, kv_head) segment (d-major so the
+                                lane axis is the 128-aligned seq axis)
+
+Five matmuls per tile: S = QK^T, dP = dO V^T, dV += P^T dO, dK += dS^T Q,
+dQ += dS K. GQA head reduction (the group grid dim) falls out of the dk/dv
+accumulators for free, and determinism is structural (fixed iteration
+order, no atomics) — the reference's ``deterministic=`` flag is always on.
+
+The (i, n) space is the same packed band the forward uses
+(dispatch/band.py), so causal/local backward pays zero skipped-iteration
+overhead. dK/dV leave through a manual async copy at segment end (the
+block-spec flush machinery would rewrite garbage blocks every iteration).
+
+Falls back to flash_bwd.py's two-kernel path only when the full-KV
+accumulators would not fit VMEM (see ``fits_vmem``).
+"""
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.dispatch.band import PackedBand, kv_band_static
+from flash_attn_tpu.dispatch.config import get_bwd_config, normalize_window
+from flash_attn_tpu.kernels.dropout_rng import dropout_keep
+from flash_attn_tpu.kernels.flash_bwd import _scores_log2, _next_pow2
+
+LOG2E = math.log2(math.e)
+NEG_INF = float("-inf")
+
+# VMEM budget for the resident fp32 dK/dV accumulators (bytes). The v5e has
+# ~128 MiB; leave room for the double-buffered q/do/k/v pipeline blocks and
+# the out blocks.
+_ACC_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def fits_vmem(seqlen_k: int, d: int, dv: int, block_q: int) -> bool:
+    acc = 4 * (seqlen_k * (d + dv) + block_q * d)
+    return acc <= _ACC_VMEM_BUDGET
+
+
+def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
+                      seqlen_k, num_q_blocks, num_kv_blocks, group, scale,
+                      softcap, causal, window_left, window_right,
+                      attention_chunk, sink_token_length, has_alibi,
+                      dropout_p, num_heads, score_mod, mask_mod,
+                      dq_dtype, dk_dtype, dv_dtype):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if dropout_p > 0.0 else None
+    slopes_ref = refs.pop(0) if has_alibi else None
+    (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+     dq_ref, dk_hbm, dv_hbm,
+     dq_acc, dk_all, dv_all, copy_sems) = refs
+
+    b_idx = pl.program_id(0)
+    hk_idx = pl.program_id(1)
+    g = pl.program_id(2)
+    t = pl.program_id(3)
+    h_idx = hk_idx * group + g
+    shift = seqlen_k - seqlen_q
+
+    i, n, t_first, t_last = band.decode(t)
+    seg_first = jnp.logical_and(g == 0, t == 0)
+    seg_last = jnp.logical_and(g == group - 1, t == band.num_tiles - 1)
+
+    @pl.when(seg_first)
+    def _seg_init():
+        dk_all[...] = jnp.zeros_like(dk_all)
+        dv_all[...] = jnp.zeros_like(dv_all)
+
+    @pl.when(t == t_first)
+    def _row_init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0, 0]       # (bq, d)
+    do = do_ref[0, 0]     # (bq, dv)
+    k = k_ref[0, 0]       # (bk, d)
+    v = v_ref[0, 0]       # (bk, dv)
+    lse2 = lse_ref[0, 0, 0].reshape(block_q, 1) * LOG2E
+    delta = delta_ref[0, 0, 0].reshape(block_q, 1)
+    slope = slopes_ref[b_idx, h_idx] if has_alibi else None
+
+    row_pad = seqlen_q % block_q != 0
+    if row_pad:
+        # Boundary q blocks are padded with garbage; zero the rows so they
+        # cannot leak into dK/dV (0 * garbage = NaN).
+        rv = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + i * block_q
+        q = jnp.where(rv < seqlen_q, q, 0)
+        do = jnp.where(rv < seqlen_q, do, 0)
+    if seqlen_k % block_k != 0:
+        cv = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + n * block_k
+        k = jnp.where(cv < seqlen_k, k, 0)
+        v = jnp.where(cv < seqlen_k, v, 0)
+
+    s2, ds_chain = _scores_log2(
+        q, k, i, n, block_q, block_k, scale=scale, softcap=softcap,
+        causal=causal, window_left=window_left, window_right=window_right,
+        attention_chunk=attention_chunk, sink_token_length=sink_token_length,
+        seqlen_k=seqlen_k, shift=shift, slope=slope,
+        score_mod=score_mod, mask_mod=mask_mod, b_idx=b_idx, h_idx=h_idx,
+    )
+    lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
+    p = jnp.exp2(s2 - lse2_safe)          # (bq, bk); masked -> 0
+    if row_pad:
+        p = jnp.where(rv < seqlen_q, p, 0)
+    # dP = dO V^T
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if dropout_p > 0.0:
+        drows = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        dcols = n * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_idx,
+                            drows, dcols, dropout_p)
+        inv_keep = 1.0 / (1.0 - dropout_p)
+        p_v = jnp.where(keep, p, 0.0) * inv_keep
+        dp_d = jnp.where(keep, dp, 0.0) * inv_keep
+    else:
+        p_v = p
+        dp_d = dp
+    ds = ds_chain(p * (dp_d - delta))
+    if row_pad:
+        ds = jnp.where(rv < seqlen_q, ds, 0)
+    p_lo = p_v.astype(do.dtype)
+    ds_lo = ds.astype(q.dtype)
+
+    # dQ += dS K * scale  (row accumulator)
+    dq_acc[...] += jax.lax.dot_general(
+        ds_lo, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dV[n] += dO^T P ; dK[n] += Q^T dS — accumulators are TRANSPOSED
+    # (d, seqlen_k): the lane axis is the 128-aligned KV-sequence axis, so
+    # both the in-kernel column slices and the segment-end DMA stay
+    # lane-aligned for any head_dim (d=64 blocks are not sliceable on the
+    # lane axis; Mosaic requires 128-multiples there).
+    off = n * block_k
+    dv_all[:, pl.ds(off, block_k)] += jax.lax.dot_general(
+        do, p_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_all[:, pl.ds(off, block_k)] += jax.lax.dot_general(
+        q, ds_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(t == t_last)
+    def _row_flush():
+        dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_dtype)
+
+    @pl.when(seg_last)
+    def _seg_flush():
+        # dK picks up the softmax scale once, at flush.
+        dk_all[...] = dk_all[...] * scale
+        cp_k = pltpu.make_async_copy(
+            dk_all, dk_hbm.at[b_idx, hk_idx], copy_sems.at[0])
+        cp_v = pltpu.make_async_copy(
+            dv_all, dv_hbm.at[b_idx, hk_idx], copy_sems.at[1])
+        cp_k.start()
+        cp_v.start()
+        cp_k.wait()
+        cp_v.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "softmax_scale", "causal", "window_size", "softcap",
+        "attention_chunk", "sink_token_length", "block_q", "block_k",
+        "interpret", "dropout_p", "score_mod", "mask_mod",
+        "strict_causal",
+    ),
+)
+def flash_attention_bwd_fused(
+    do,   # (b, h, sq, dv)
+    q,    # (b, h, sq, d)
+    k,    # (b, h_k, sk, d)
+    v,    # (b, h_k, sk, dv)
+    out,  # (b, h, sq, dv)
+    lse,  # (b, h, sq) natural-log
+    alibi_slopes=None,
+    learnable_sink=None,
+    dropout_p: float = 0.0,
+    dropout_seed=None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[Optional[int], Optional[int]] = (None, None),
+    softcap: float = 0.0,
+    attention_chunk: int = 0,
+    sink_token_length: int = 0,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    score_mod=None,
+    mask_mod=None,
+    interpret: bool = False,
+    strict_causal: bool = False,  # col < row (striped ring attention)
+):
+    """Fused-backward twin of flash_bwd.flash_attention_bwd.
+
+    Returns (dq, dk, dv) in the kernel layout: dq (b, h, sq, d) in q.dtype,
+    dk (b, h_k, sk, d) / dv (b, h_k, sk, dv) in fp32 (GQA-reduced).
+    """
+    b, h, sq, d = q.shape
+    _, h_k, sk, _ = k.shape
+    dv_dim = v.shape[-1]
+    group = h // h_k
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    window_left, window_right = normalize_window(window_size)
+    if strict_causal:
+        assert not causal and window_right is None, (causal, window_right)
+        window_right = -1
+    del learnable_sink  # only affects lse, already folded in
+
+    cfg = get_bwd_config(d, dv_dim, sq, sk, causal)
+    bq = min(block_q or cfg.block_q, _next_pow2(sq))
+    bk = min(block_k or cfg.block_k, _next_pow2(sk))
+    nq = pl.cdiv(sq, bq)
+    nk = pl.cdiv(sk, bk)
+    shift = sk - sq
+    sk_pad = nk * bk
+
+    jmin_s, jmax_s = kv_band_static(
+        nq, nk, bq, bk, shift, causal, window_left, window_right,
+        sink_token_length, attention_chunk,
+    )
+    band = PackedBand(jmin_s, jmax_s)
+
+    # Preprocess: delta = rowsum(dO * O) (fp32) — the reference's
+    # flash_bwd_preprocess_kernel as a fused XLA reduction.
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (b, h, sq)
+    lse = lse.astype(jnp.float32)[:, :, None, :]
+    delta = delta[:, :, None, :]
+
+    grid = (b, h_k, group, band.num_tiles)
+
+    def amap(fn):
+        return lambda b_, hk, g, t: fn(b_, hk, g, band.i_of(t), band.j_of(t))
+
+    in_specs = []
+    inputs = []
+    if dropout_p > 0.0:
+        in_specs.append(pl.BlockSpec(
+            (1, 1), amap(lambda b_, hk, g, i, n: (0, 0)),
+            memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(dropout_seed, jnp.uint32).reshape(1, 1))
+    if alibi_slopes is not None:
+        in_specs.append(pl.BlockSpec(
+            (b, h), amap(lambda b_, hk, g, i, n: (0, 0)),
+            memory_space=pltpu.SMEM))
+        inputs.append(alibi_slopes.astype(jnp.float32))
+    in_specs += [
+        pl.BlockSpec((1, 1, bq, d),
+                     amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0))),
+        pl.BlockSpec((1, 1, bq, dv_dim),
+                     amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0))),
+        pl.BlockSpec((1, 1, 1, bq),
+                     amap(lambda b_, hk, g, i, n: (b_, hk * group + g, 0, i))),
+        pl.BlockSpec((1, 1, 1, bq),
+                     amap(lambda b_, hk, g, i, n: (b_, hk * group + g, 0, i))),
+        pl.BlockSpec((1, 1, bk, d), amap(lambda b_, hk, g, i, n: (b_, hk, n, 0))),
+        pl.BlockSpec((1, 1, bk, dv_dim),
+                     amap(lambda b_, hk, g, i, n: (b_, hk, n, 0))),
+    ]
+    inputs += [q, do, lse, delta, k, v]
+
+    kernel = functools.partial(
+        _bwd_fused_kernel,
+        band=band, block_q=bq, block_k=bk, seqlen_q=sq, seqlen_k=sk,
+        num_q_blocks=nq, num_kv_blocks=nk, group=group, scale=softmax_scale,
+        softcap=softcap, causal=causal, window_left=window_left,
+        window_right=window_right, attention_chunk=attention_chunk,
+        sink_token_length=sink_token_length,
+        has_alibi=alibi_slopes is not None, dropout_p=dropout_p,
+        num_heads=h, score_mod=score_mod, mask_mod=mask_mod,
+        dq_dtype=q.dtype, dk_dtype=jnp.float32, dv_dtype=jnp.float32,
+    )
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d),
+                         amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0))),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h_k, d, sk_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_k, dv_dim, sk_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),          # dq row accumulator
+            pltpu.VMEM((d, sk_pad), jnp.float32),      # dk full-KV (d-major)
+            pltpu.VMEM((dv_dim, sk_pad), jnp.float32),  # dv full-KV (d-major)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * sq * sk * d // (2 if causal else 1),
+            bytes_accessed=2 * (q.size * 2 + k.size * group * 2)
+            + 4 * (q.size + k.size + v.size),
+            transcendentals=b * h * sq * sk // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    dk = jnp.swapaxes(dk, -1, -2)
+    dv = jnp.swapaxes(dv, -1, -2)
+    if sk_pad != sk:
+        dk = dk[:, :, :sk, :]
+        dv = dv[:, :, :sk, :]
+    return dq, dk, dv
+
+
+def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
+    """Dispatch: fused single-pass kernel when the full-KV accumulators fit
+    VMEM (virtually always) and the layouts are DMA-aligned, else the
+    two-kernel flash_bwd path."""
+    from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+
+    d = q.shape[-1]
+    dv_dim = v.shape[-1]
+    sk = k.shape[2]
+    sq = q.shape[2]
+    cfg = get_bwd_config(d, dv_dim, sq, sk, kw.get("causal", False))
+    bq = kw.get("block_q") or cfg.block_q
+    bk = min(kw.get("block_k") or cfg.block_k, _next_pow2(sk))
+    sk_pad = pl.cdiv(sk, bk) * bk
+    # The (d, sk_pad) accumulators need a 128-multiple lane (KV) axis and
+    # 8-multiple sublane (head) axis for the manual segment-flush DMA.
+    aligned = sk_pad % 128 == 0 and d % 8 == 0 and dv_dim % 8 == 0
+    if aligned and fits_vmem(sk_pad, d, dv_dim, bq):
+        return flash_attention_bwd_fused(do, q, k, v, out, lse, **kw)
+    return flash_attention_bwd(do, q, k, v, out, lse, **kw)

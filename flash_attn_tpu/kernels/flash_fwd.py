@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flash_attn_tpu.dispatch.band import PackedBand, kv_band_static
 from flash_attn_tpu.dispatch.config import get_fwd_config, normalize_window
 from flash_attn_tpu.kernels.dropout_rng import dropout_keep
 
@@ -65,6 +66,7 @@ def _fwd_kernel(
     score_mod,
     mask_mod,
     out_dtype,
+    band: Optional[PackedBand] = None,
 ):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
@@ -76,22 +78,34 @@ def _fwd_kernel(
 
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
-    i = pl.program_id(2)
-    j = pl.program_id(3)
     shift = seqlen_k - seqlen_q  # bottom-right alignment offset
 
-    @pl.when(j == 0)
+    if band is None:
+        i = pl.program_id(2)
+        j = pl.program_id(3)
+        is_first = j == 0
+        is_last = j == num_kv_blocks - 1
+        # ---- dynamic block-band bounds (same math as the index-map clamp) --
+        j_min, j_max = _kv_block_bounds(
+            i, block_q, block_k, shift, num_kv_blocks, causal,
+            window_left, window_right, sink_token_length, attention_chunk,
+        )
+        should_run = jnp.logical_and(j >= j_min, j <= j_max)
+    else:
+        # Packed band grid (dispatch/band.py): every iteration is in-band,
+        # so there is no predicated-off work at all — the TPU answer to the
+        # reference's causal LPT scheduling (cute/tile_scheduler.py:458).
+        t = pl.program_id(2)
+        i, j, t_first, t_last = band.decode(t)
+        is_first = t == t_first
+        is_last = t == t_last
+        should_run = None
+
+    @pl.when(is_first)
     def _init():
         m_s[...] = jnp.full_like(m_s, NEG_INF)
         l_s[...] = jnp.zeros_like(l_s)
         acc[...] = jnp.zeros_like(acc)
-
-    # ---- dynamic block-band bounds (same math as the index-map clamp) ----
-    j_min, j_max = _kv_block_bounds(
-        i, block_q, block_k, shift, num_kv_blocks, causal,
-        window_left, window_right, sink_token_length, attention_chunk,
-    )
-    should_run = jnp.logical_and(j >= j_min, j <= j_max)
 
     needs_col_mask = (
         causal
@@ -102,7 +116,10 @@ def _fwd_kernel(
         or mask_mod is not None
     )
 
-    @pl.when(should_run)
+    def _guard(fn):
+        return fn() if should_run is None else pl.when(should_run)(fn)
+
+    @_guard
     def _compute():
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_k, d)
@@ -169,50 +186,65 @@ def _fwd_kernel(
         if has_alibi:
             slope = slopes_ref[b_idx, h_idx]
             rows = i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
+                jnp.int32, (block_q, 1), 0
             )
             cols = j * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
+                jnp.int32, (1, block_k), 1
             )
             if causal:
-                bias = (cols - (seqlen_k - 1)).astype(jnp.float32)
+                bias = jnp.broadcast_to(
+                    (cols - (seqlen_k - 1)).astype(jnp.float32),
+                    (block_q, block_k))
             else:
                 bias = -jnp.abs(rows + shift - cols).astype(jnp.float32)
             s2 = s2 + slope * LOG2E * bias
 
         if needs_col_mask:
             def _apply_mask(s2):
+                # Vector iotas, (bq,1) rows / (1,bk) cols: each mask term is
+                # ONE broadcast compare on the (bq,bk) tile instead of the
+                # round-1 matrix-iota build (2 wide iotas + wide adds) — the
+                # mask cost was ~1/3 of causal VPU time on v5e.
                 rows = i * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 0
+                    jnp.int32, (block_q, 1), 0
                 )
                 cols = j * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1
+                    jnp.int32, (1, block_k), 1
                 )
-                valid = jnp.ones((block_q, block_k), dtype=jnp.bool_)
+                valid = None
+
+                def _and(a, b):
+                    return b if a is None else jnp.logical_and(a, b)
+
                 wr = 0 if causal else window_right
                 if causal or wr is not None:
-                    valid = jnp.logical_and(valid, cols <= rows + shift + wr)
+                    valid = _and(valid, cols <= rows + (shift + wr))
                 if window_left is not None:
-                    in_window = cols >= rows + shift - window_left
+                    in_window = cols >= rows + (shift - window_left)
                     if sink_token_length > 0:
                         in_window = jnp.logical_or(
                             in_window, cols < sink_token_length)
-                    valid = jnp.logical_and(valid, in_window)
+                    valid = _and(valid, in_window)
                 if attention_chunk > 0:
                     rs = rows + shift
                     limit = rs - rs % attention_chunk
-                    valid = jnp.logical_and(
+                    valid = _and(
                         valid,
                         jnp.logical_and(cols >= limit,
                                         cols < limit + attention_chunk),
                     )
                 if seqlen_k % block_k != 0:
-                    valid = jnp.logical_and(valid, cols < seqlen_k)
+                    valid = _and(valid, jnp.broadcast_to(
+                        cols < seqlen_k, (block_q, block_k)))
                 if mask_mod is not None:
                     # user mask: True = keep (reference mask_mod composition,
-                    # flash_attn/cute/mask.py:159)
-                    valid = jnp.logical_and(
-                        valid, mask_mod(b_idx, h_idx, rows, cols))
+                    # flash_attn/cute/mask.py:159); mask_mod gets full
+                    # matrices per its (b, h, rows, cols) contract
+                    rows_m = i * block_q + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 0)
+                    cols_m = j * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, block_k), 1)
+                    valid = _and(valid, mask_mod(b_idx, h_idx, rows_m, cols_m))
                 return jnp.where(valid, s2, NEG_INF)
 
             # NOTE: an lax.cond diagonal-block fast path was tried here and
@@ -248,7 +280,7 @@ def _fwd_kernel(
         )
         acc[...] = acc[...] * corr[:, :1] + pv
 
-    @pl.when(j == num_kv_blocks - 1)
+    @pl.when(is_last)
     def _epilogue():
         m = m_s[:, :1]  # (block_q, 1) base-2 running max
         l = l_s[:, :1]
@@ -299,6 +331,7 @@ def _kv_block_bounds(
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
         "interpret", "return_lse", "dropout_p", "score_mod", "mask_mod",
+        "strict_causal",
     ),
 )
 def flash_attention_fwd(
@@ -325,6 +358,7 @@ def flash_attention_fwd(
     mask_mod=None,   # fn(b, h, rows, cols) -> bool keep
     interpret: bool = False,
     return_lse: bool = True,
+    strict_causal: bool = False,  # col < row (striped ring attention)
 ):
     """Core fwd dispatch; layout (b, h, s, d). Returns (out, lse).
 
@@ -338,6 +372,13 @@ def flash_attention_fwd(
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d if qv is None else d + dv)
     window_left, window_right = normalize_window(window_size)
+    if strict_causal:
+        # col <= row - 1 (bottom-right aligned): the off-diagonal mask of
+        # striped/zigzag ring attention (parallel/attention.py). Reuses the
+        # window machinery with a genuinely negative right bound (the public
+        # window_size maps -1 -> unlimited, so this needs its own flag).
+        assert not causal and window_right is None, (causal, window_right)
+        window_right = -1
 
     cfg = get_fwd_config(d, dv, sq, sk, causal)
     bq = block_q or cfg.block_q
@@ -348,47 +389,77 @@ def flash_attention_fwd(
     nk = pl.cdiv(sk, bk)
     shift = sk - sq
 
-    def clamp_j(i, j):
-        j_min, j_max = _kv_block_bounds(
-            i, bq, bk, shift, nk, causal,
-            window_left, window_right, sink_token_length, attention_chunk,
-        )
-        return jnp.clip(jnp.clip(j, j_min, j_max), 0, nk - 1)
-
     group = h // h_k
-    q_spec = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+
+    # Static packed band (dispatch/band.py): when the mask leaves the tile
+    # space non-rectangular (causal/local/chunked), enumerate only the
+    # in-band (i, j) pairs in one flat grid dimension.
+    band = None
+    jmin_s, jmax_s = kv_band_static(
+        nq, nk, bq, bk, shift, causal, window_left, window_right,
+        sink_token_length, attention_chunk,
+    )
+    cand = PackedBand(jmin_s, jmax_s)
+    if cand.num_tiles < nq * nk:
+        band = cand
+
+    if band is None:
+        def i_of(i, j):
+            return i
+
+        def j_of(i, j):
+            j_min, j_max = _kv_block_bounds(
+                i, bq, bk, shift, nk, causal,
+                window_left, window_right, sink_token_length, attention_chunk,
+            )
+            return jnp.clip(jnp.clip(j, j_min, j_max), 0, nk - 1)
+
+        grid = (b, h, nq, nk)
+    else:
+        i_of = lambda t: band.i_of(t)
+        j_of = lambda t: band.j_of(t)
+        grid = (b, h, band.num_tiles)
+
+    def amap(fn):
+        """Wrap an (b, h, i, j)->block index fn for either grid arity."""
+        if band is None:
+            return lambda b_, h_, i, j: fn(b_, h_, i, j_of(i, j))
+        return lambda b_, h_, t: fn(b_, h_, i_of(t), j_of(t))
+
+    q_spec = pl.BlockSpec((1, 1, bq, d), amap(lambda b_, h_, i, j: (b_, h_, i, 0)))
     k_spec = pl.BlockSpec(
-        (1, 1, bk, d), lambda b_, h_, i, j: (b_, h_ // group, clamp_j(i, j), 0)
+        (1, 1, bk, d), amap(lambda b_, h_, i, j: (b_, h_ // group, j, 0))
     )
     v_spec = pl.BlockSpec(
-        (1, 1, bk, dv), lambda b_, h_, i, j: (b_, h_ // group, clamp_j(i, j), 0)
+        (1, 1, bk, dv), amap(lambda b_, h_, i, j: (b_, h_ // group, j, 0))
     )
-    out_spec = pl.BlockSpec((1, 1, bq, dv), lambda b_, h_, i, j: (b_, h_, i, 0))
+    out_spec = pl.BlockSpec(
+        (1, 1, bq, dv), amap(lambda b_, h_, i, j: (b_, h_, i, 0)))
     # lse is laid out (b, h, 1, sq) inside the kernel so the seq dim rides the
     # 128-lane axis; squeezed to (b, h, sq) on return.
-    lse_spec = pl.BlockSpec((1, 1, 1, bq), lambda b_, h_, i, j: (b_, h_, 0, i))
+    lse_spec = pl.BlockSpec(
+        (1, 1, 1, bq), amap(lambda b_, h_, i, j: (b_, h_, 0, i)))
 
     in_specs = []
     inputs = []
     # Scalars ride whole in SMEM (Mosaic requires full-array blocks there);
     # kernels index them with program_id.
+    zero_map2 = amap(lambda b_, h_, i, j: (0, 0))
+    zero_map3 = amap(lambda b_, h_, i, j: (0, 0, 0))
     if dropout_p > 0.0:
         assert dropout_seed is not None, "dropout needs a seed"
         in_specs.append(
-            pl.BlockSpec((1, 1), lambda b_, h_, i, j: (0, 0),
-                         memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 1), zero_map2, memory_space=pltpu.SMEM)
         )
         inputs.append(jnp.asarray(dropout_seed, jnp.uint32).reshape(1, 1))
     if alibi_slopes is not None:
         in_specs.append(
-            pl.BlockSpec((b, h), lambda b_, h_, i, j: (0, 0),
-                         memory_space=pltpu.SMEM)
+            pl.BlockSpec((b, h), zero_map2, memory_space=pltpu.SMEM)
         )
         inputs.append(alibi_slopes.astype(jnp.float32))
     if learnable_sink is not None:
         in_specs.append(
-            pl.BlockSpec((1, h), lambda b_, h_, i, j: (0, 0),
-                         memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, h), zero_map2, memory_space=pltpu.SMEM)
         )
         inputs.append(learnable_sink.reshape(1, h).astype(jnp.float32))
     has_descale = q_descale is not None
@@ -400,13 +471,13 @@ def flash_attention_fwd(
             ones if v_descale is None else v_descale.astype(jnp.float32),
         ])
         in_specs.append(
-            pl.BlockSpec((3, b, h_k), lambda b_, h_, i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM)
+            pl.BlockSpec((3, b, h_k), zero_map3, memory_space=pltpu.SMEM)
         )
         inputs.append(descale)
     if qv is not None:
         in_specs.append(
-            pl.BlockSpec((1, 1, bq, dv), lambda b_, h_, i, j: (b_, h_, i, 0)))
+            pl.BlockSpec((1, 1, bq, dv),
+                         amap(lambda b_, h_, i, j: (b_, h_, i, 0))))
         inputs.append(qv)
     in_specs += [q_spec, k_spec, v_spec]
     inputs += [q, k, v]
@@ -435,11 +506,12 @@ def flash_attention_fwd(
         score_mod=score_mod,
         mask_mod=mask_mod,
         out_dtype=jnp.bfloat16 if has_descale else q.dtype,
+        band=band,
     )
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b, h, nq, nk),
+        grid=grid,
         in_specs=in_specs,
         out_specs=[out_spec, lse_spec],
         out_shape=[
@@ -453,7 +525,9 @@ def flash_attention_fwd(
             pltpu.VMEM((bq, 128), jnp.float32),  # running denom
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary") if band is not None
+                else ("parallel", "parallel", "parallel", "arbitrary")),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * sq * sk * (d + dv) // (2 if causal else 1),
