@@ -16,7 +16,9 @@ import jax.numpy as jnp
 
 from flash_attn_tpu.dispatch.config import normalize_window
 from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
-from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+from flash_attn_tpu.kernels.flash_bwd_fused import (
+    flash_attention_bwd_auto as flash_attention_bwd,
+)
 from flash_attn_tpu.kernels.flash_varlen import (
     flash_attention_varlen_fwd,
     flash_attention_varlen_bwd,
@@ -46,13 +48,13 @@ def _flash_attn(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
                 softmax_scale, causal, window_size, softcap,
                 attention_chunk, sink_token_length, deterministic, dropout_p,
                 score_mod, mask_mod):
-    out, _ = _flash_attn_fwd_res(
+    (out, lse), _ = _flash_attn_fwd_res(
         q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         softmax_scale, causal, window_size, softcap,
         attention_chunk, sink_token_length, deterministic, dropout_p,
         score_mod, mask_mod,
     )
-    return out
+    return out, lse
 
 
 def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
@@ -79,15 +81,18 @@ def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         interpret=_use_interpret(),
     )
     out = jnp.swapaxes(out_t, 1, 2)
-    return out, (q, k, v, alibi_slopes, learnable_sink, dropout_seed, out, lse)
+    return (out, lse), (q, k, v, alibi_slopes, learnable_sink, dropout_seed,
+                        out, lse)
 
 
 def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
                     attention_chunk, sink_token_length, deterministic,
                     dropout_p, score_mod, mask_mod, residuals, g):
     q, k, v, alibi_slopes, learnable_sink, dropout_seed, out, lse = residuals
+    # g = (g_out, g_lse); lse is an inspection output (reference returns it
+    # from _flash_attn_forward the same way) — its cotangent is dropped.
     dq, dk, dv = flash_attention_bwd(
-        jnp.swapaxes(g, 1, 2),
+        jnp.swapaxes(g[0], 1, 2),
         jnp.swapaxes(q, 1, 2),
         jnp.swapaxes(k, 1, 2),
         jnp.swapaxes(v, 1, 2),
@@ -188,7 +193,7 @@ def flash_attn_func(
         )
         out = jnp.swapaxes(out_t, 1, 2)
         return (out, lse) if return_attn_probs else out
-    out = _flash_attn(
+    out, lse = _flash_attn(
         q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         softmax_scale, causal, window_size, softcap,
         attention_chunk, sink_token_length, deterministic, dropout_p,
@@ -197,13 +202,8 @@ def flash_attn_func(
     if return_attn_probs:
         # The reference returns (out, lse, S_dmask); the dropout mask is
         # reconstructable via kernels.dropout_rng.dropout_mask_reference.
-        _, res = _flash_attn_fwd_res(
-            q, k, v, alibi_slopes, learnable_sink, dropout_seed,
-            softmax_scale, causal, window_size, softcap,
-            attention_chunk, sink_token_length, deterministic, dropout_p,
-            score_mod, mask_mod,
-        )
-        return out, res[-1]
+        # lse rides out of the same custom_vjp call (no second forward).
+        return out, lse
     return out
 
 
@@ -212,46 +212,48 @@ def flash_attn_func(
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16),
+    nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19),
 )
 def _flash_attn_varlen(q, k, v, cu_seqlens_q, cu_seqlens_k,
                        seqused_q, seqused_k, alibi_slopes, dropout_seed,
-                       max_seqlen_q, max_seqlen_k,
+                       meta, max_seqlen_q, max_seqlen_k,
                        softmax_scale, causal, window_size, softcap,
-                       attention_chunk, dropout_p):
-    out, _ = _flash_attn_varlen_fwd_res(
+                       attention_chunk, dropout_p, block_q, block_k):
+    (out, lse), _ = _flash_attn_varlen_fwd_res(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-        alibi_slopes, dropout_seed, max_seqlen_q, max_seqlen_k,
+        alibi_slopes, dropout_seed, meta, max_seqlen_q, max_seqlen_k,
         softmax_scale, causal, window_size, softcap, attention_chunk,
-        dropout_p,
+        dropout_p, block_q, block_k,
     )
-    return out
+    return out, lse
 
 
 def _flash_attn_varlen_fwd_res(q, k, v, cu_seqlens_q, cu_seqlens_k,
                                seqused_q, seqused_k, alibi_slopes,
-                               dropout_seed, max_seqlen_q, max_seqlen_k,
+                               dropout_seed, meta, max_seqlen_q, max_seqlen_k,
                                softmax_scale, causal, window_size, softcap,
-                               attention_chunk, dropout_p):
+                               attention_chunk, dropout_p, block_q, block_k):
     out, lse = flash_attention_varlen_fwd(
         q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
         seqused_q=seqused_q, seqused_k=seqused_k, alibi_slopes=alibi_slopes,
         dropout_p=dropout_p, dropout_seed=dropout_seed,
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
         softcap=softcap, attention_chunk=attention_chunk,
+        meta=meta, block_q=block_q, block_k=block_k,
         interpret=_use_interpret(),
     )
-    return out, (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-                 alibi_slopes, dropout_seed, out, lse)
+    return (out, lse), (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q,
+                        seqused_k, alibi_slopes, dropout_seed, out, lse)
 
 
 def _flash_attn_varlen_bwd(max_seqlen_q, max_seqlen_k, softmax_scale, causal,
                            window_size, softcap, attention_chunk, dropout_p,
-                           residuals, g):
+                           block_q, block_k, residuals, g):
     (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
      alibi_slopes, dropout_seed, out, lse) = residuals
+    # g = (g_out, g_lse); lse is an inspection output — cotangent dropped.
     dq, dk, dv = flash_attention_varlen_bwd(
-        g, q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k,
+        g[0], q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k,
         max_seqlen_q, max_seqlen_k, seqused_q=seqused_q, seqused_k=seqused_k,
         alibi_slopes=alibi_slopes, dropout_p=dropout_p,
         dropout_seed=dropout_seed, softmax_scale=softmax_scale, causal=causal,
@@ -261,7 +263,7 @@ def _flash_attn_varlen_bwd(max_seqlen_q, max_seqlen_k, softmax_scale, causal,
     zeros_like_opt = lambda x: None if x is None else jnp.zeros_like(x)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             None, None, None, None, zeros_like_opt(alibi_slopes),
-            zeros_like_opt(dropout_seed))
+            zeros_like_opt(dropout_seed), None)
 
 
 _flash_attn_varlen.defvjp(_flash_attn_varlen_fwd_res, _flash_attn_varlen_bwd)
@@ -287,14 +289,38 @@ def flash_attn_varlen_func(
     seqused_k=None,
     attention_chunk: int = 0,
     dropout_rng=None,
+    block_table=None,  # (b, max_pages): k/v are PAGED caches (see below)
+    q_descale=None,
+    k_descale=None,
+    v_descale=None,
+    scheduler_metadata=None,  # SchedulerMetadata from get_scheduler_metadata
 ):
     """Varlen (packed) attention — parity with the reference
     ``flash_attn_varlen_func`` (flash_attn/flash_attn_interface.py:1286;
     seqused semantics from hopper/flash_attn_interface.py).
 
+    With ``block_table`` (the reference's paged-KV varlen path,
+    hopper/flash_api.cpp:672 / flash_attn/cute/interface.py:3419): ``k``/``v``
+    are paged caches in the TPU-native layout (num_pages, nheads_k,
+    page_size, head_dim) — note the reference keeps (page_size, nheads_k, d);
+    seq-major pages ride the sublane axis here. Per-sequence KV lengths come
+    from ``seqused_k`` (or cu_seqlens_k deltas), and the path is
+    forward-only (chunked-prefill serving; matches the reference where
+    paged attention has no backward).
+
     Returns out (total_q, nheads, head_dim_v); with return_attn_probs, the
     tuple (out, lse (nheads, total_q)).
     """
+    if block_table is not None:
+        return _varlen_paged_fwd(
+            q, k, v, cu_seqlens_q, max_seqlen_q, block_table,
+            seqused_k if seqused_k is not None
+            else cu_seqlens_k[1:] - cu_seqlens_k[:-1],
+            softmax_scale=softmax_scale, causal=causal,
+            window_size=window_size, softcap=softcap,
+            q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
+            return_attn_probs=return_attn_probs,
+        )
     dropout_seed = None
     if dropout_p > 0.0:
         if dropout_rng is None:
@@ -309,20 +335,63 @@ def flash_attn_varlen_func(
         alibi_slopes = jnp.broadcast_to(
             alibi_slopes[None], (b, alibi_slopes.shape[0])
         )
-    out = _flash_attn_varlen(
+    meta = None
+    if scheduler_metadata is not None:
+        meta = scheduler_metadata.meta
+        block_q = scheduler_metadata.block_q
+        block_k = scheduler_metadata.block_k
+    else:
+        block_q = block_k = None
+    out, lse = _flash_attn_varlen(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-        alibi_slopes, dropout_seed, int(max_seqlen_q), int(max_seqlen_k),
-        softmax_scale, causal, window_size, softcap, attention_chunk,
-        dropout_p,
+        alibi_slopes, dropout_seed, meta, int(max_seqlen_q),
+        int(max_seqlen_k), softmax_scale, causal, window_size, softcap,
+        attention_chunk, dropout_p, block_q, block_k,
     )
     if return_attn_probs:
-        _, res = _flash_attn_varlen_fwd_res(
-            q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-            alibi_slopes, dropout_seed, int(max_seqlen_q), int(max_seqlen_k),
-            softmax_scale, causal, window_size, softcap, attention_chunk,
-            dropout_p,
-        )
-        return out, res[-1]
+        return out, lse
+    return out
+
+
+def _varlen_paged_fwd(q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q,
+                      block_table, seqlens_k, *, softmax_scale, causal,
+                      window_size, softcap, q_descale, k_descale, v_descale,
+                      return_attn_probs):
+    """Packed-varlen front end over the dense paged-prefill kernel:
+    pack -> pad per sequence -> kernel -> unpack."""
+    from flash_attn_tpu.kernels.flash_paged_prefill import (
+        flash_attention_paged_prefill,
+    )
+
+    total_q, h, d = q.shape
+    b = cu_seqlens_q.shape[0] - 1
+    sq_max = int(max_seqlen_q)
+    seqused_q = (cu_seqlens_q[1:] - cu_seqlens_q[:-1]).astype(jnp.int32)
+
+    # packed (total_q) -> dense (b, sq_max): row (s, t) is packed index
+    # cu[s] + t (clipped; invalid rows masked in-kernel via seqused_q).
+    pos = jnp.arange(sq_max, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.clip(cu_seqlens_q[:-1, None] + pos, 0, total_q - 1)
+    q_dense = q[gather_idx.reshape(-1)].reshape(b, sq_max, h, d)
+
+    out_dense, lse_dense = flash_attention_paged_prefill(
+        q_dense, k_cache, v_cache, seqused_q,
+        jnp.asarray(seqlens_k, jnp.int32), block_table,
+        q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
+        softmax_scale=softmax_scale, causal=causal,
+        window_size=normalize_window(tuple(window_size)), softcap=softcap,
+        interpret=_use_interpret(),
+    )
+
+    # dense -> packed: token t belongs to sequence searchsorted(cu, t)-1.
+    tok = jnp.arange(total_q, dtype=jnp.int32)
+    seq_of = jnp.searchsorted(cu_seqlens_q, tok, side="right") - 1
+    seq_of = jnp.clip(seq_of, 0, b - 1)
+    pos_of = tok - cu_seqlens_q[seq_of]
+    out = out_dense[seq_of, pos_of]           # (total_q, h, dv)
+    if return_attn_probs:
+        lse = lse_dense[seq_of, :, pos_of].T  # (h, total_q)
+        return out, lse
     return out
 
 

@@ -207,6 +207,7 @@ def flash_attention_varlen_fwd(
     attention_chunk: int = 0,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    meta=None,  # precomputed VarlenMeta from get_scheduler_metadata
     interpret: bool = False,
 ):
     """Returns (out (total_q, h, dv), lse (h, total_q) fp32)."""
@@ -224,11 +225,16 @@ def flash_attention_varlen_fwd(
     nq = pl.cdiv(total_q, bq)
     nk = pl.cdiv(total_k, bk)
 
-    meta = compute_varlen_meta(
-        cu_seqlens_q, cu_seqlens_k, bq, bk, nq, nk,
-        causal=causal, window_left=window_left, window_right=window_right,
-        seqused_q=seqused_q, seqused_k=seqused_k,
-    )
+    if meta is None:
+        meta = compute_varlen_meta(
+            cu_seqlens_q, cu_seqlens_k, bq, bk, nq, nk,
+            causal=causal, window_left=window_left, window_right=window_right,
+            seqused_q=seqused_q, seqused_k=seqused_k,
+        )
+    # else: caller-supplied schedule (get_scheduler_metadata) — the caller
+    # pins block_q/block_k to the values the metadata was built with
+    # (interface.py), the analogue of hopper/flash_api.cpp:1004 reusing
+    # precomputed scheduler metadata instead of recomputing per call.
     col = lambda x: x.reshape(-1, 1)           # (total_pad, 1) q-side
     row = lambda x: x.reshape(1, -1)           # (1, total_pad) k-side
     shift_q = meta.sk_of_q - meta.sq_of_q

@@ -213,3 +213,46 @@ def test_unpad_input_for_concatenated_sequences():
         ref = attention_ref(seg, seg, seg, causal=True)[0]
         np.testing.assert_allclose(np.asarray(out[lo:hi]), np.asarray(ref[0]),
                                    atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_varlen_scheduler_metadata_consumed(causal):
+    """scheduler_metadata= must be consumed by the kernel (the reference
+    reuses precomputed scheduler metadata, hopper/flash_api.cpp:1004): the
+    output with a precomputed schedule matches the inline-schedule output,
+    and grads flow through the metadata-carrying call."""
+    from flash_attn_tpu import get_scheduler_metadata
+
+    key = jax.random.PRNGKey(7)
+    b, h, d = 3, 4, 64
+    sq, sk = 193, 260
+    q, k, v, qmask, kmask = _setup(key, b, sq, sk, h, h, d)
+
+    q_un, idx_q, cu_q, msq, _ = unpad_input(q, qmask)
+    k_un, _, cu_k, msk, _ = unpad_input(k, kmask)
+    v_un, _, _, _, _ = unpad_input(v, kmask)
+
+    md = get_scheduler_metadata(
+        b, msq, msk, h, h, d, cu_seqlens_q=cu_q, cu_seqlens_k=cu_k,
+        causal=causal)
+    out_md = flash_attn_varlen_func(
+        q_un, k_un, v_un, cu_q, cu_k, msq, msk, causal=causal,
+        scheduler_metadata=md)
+    # Same schedule contents -> same kernel result when tiles agree; always
+    # numerically equivalent.
+    out_inline = flash_attn_varlen_func(
+        q_un, k_un, v_un, cu_q, cu_k, msq, msk, causal=causal,
+        block_table=None)
+    np.testing.assert_allclose(
+        np.asarray(out_md, np.float32), np.asarray(out_inline, np.float32),
+        atol=2e-2, rtol=1e-2)
+
+    # grads flow (meta cotangent is symbolically zero)
+    def loss(q_, k_, v_):
+        return flash_attn_varlen_func(
+            q_, k_, v_, cu_q, cu_k, msq, msk, causal=causal,
+            scheduler_metadata=md).astype(jnp.float32).sum()
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q_un, k_un, v_un)
+    for g in (dq, dk, dv):
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
