@@ -56,7 +56,9 @@ def _decode_kernel(
     fetching), and a static per-head loop runs the online softmax."""
     refs = list(refs)
     slopes_ref = refs.pop(0) if has_alibi else None
-    descale_ref = refs.pop(0) if has_descale else None  # (3, b, h_k) SMEM
+    # (2, 1, h_k, 128) VMEM: [0]=q_descale*k_descale, [1]=v_descale,
+    # lane-replicated so the batched-head path reads them as vectors.
+    descale_ref = refs.pop(0) if has_descale else None
     (q_ref, kc_ref, vc_ref, outp_ref, lsep_ref,
      kbuf, vbuf, sems, acc, m_s, l_s) = refs
 
@@ -97,16 +99,22 @@ def _decode_kernel(
         ck.start()
         cv.start()
 
-    qs_all = []
-    for kh in range(H):
-        qh = q_ref[0, kh]  # (rows_pad, d)
-        if has_descale:
-            qh = qh.astype(jnp.bfloat16)
-        qs_all.append((qh.astype(jnp.float32) * scale_log2).astype(qh.dtype))
+    # Queries for ALL kv heads at once: (h_k, rows_pad, d). Every per-tile
+    # op below is batched over the head axis — one Mosaic op dispatch on a
+    # (h_k*rows_pad, block_k)-sized tensor instead of h_k dispatches on tiny
+    # (rows_pad, block_k) tiles (the round-1 per-head loop was dispatch-
+    # overhead-bound: ~17x off the HBM bound at 4k ctx).
+    qs = q_ref[0]  # (h_k, rows_pad, d)
+    if has_descale:
+        qs = qs.astype(jnp.bfloat16)
+    qs = (qs.astype(jnp.float32) * scale_log2).astype(qs.dtype)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 1)
     tok = rows_i // group
     shift = sk_eff - seqlen_q
+    if has_descale:
+        # (h_k, 1, 1) broadcast scalars built once per grid step.
+        qkd = descale_ref[0, 0][:, :1].reshape(H, 1, 1)
 
     def tile_compute(t, slot):
         # NOTE: buffer/semaphore slots are STATIC python ints — dynamic
@@ -119,9 +127,9 @@ def _decode_kernel(
         pos_k = cols - leftpad
         col_ok = jnp.logical_and(cols < sk, cols >= leftpad)
         vmask = jnp.logical_and(
-            jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+            jax.lax.broadcasted_iota(jnp.int32, (1, block_k, 1), 1)
             + t * block_k < sk,
-            jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+            jax.lax.broadcasted_iota(jnp.int32, (1, block_k, 1), 1)
             + t * block_k >= leftpad,
         )
         wr = 0 if causal else window_right
@@ -130,57 +138,53 @@ def _decode_kernel(
             valid = jnp.logical_and(valid, pos_k <= tok + shift + wr)
         if window_left is not None:
             valid = jnp.logical_and(valid, pos_k >= tok + shift - window_left)
+        valid = valid[None]  # (1, rows_pad, block_k)
 
-        for kh in range(H):
-            k = kbuf[slot, kh]
-            v = vbuf[slot, kh]
-            if has_descale:
-                k = k.astype(jnp.bfloat16)
-                v = v.astype(jnp.bfloat16)
-            v = jnp.where(vmask, v, 0)
+        k = kbuf[slot]  # (h_k, block_k, d)
+        v = vbuf[slot]
+        if has_descale:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+        v = jnp.where(vmask, v, 0)
 
-            if softcap > 0.0:
-                sraw = jax.lax.dot_general(
-                    qs_all[kh], k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * (1.0 / LOG2E)
-                tt = jnp.tanh(sraw / softcap)
-                s2 = tt * softcap * LOG2E
+        # Batched over heads: (h_k, rows_pad, d) x (h_k, block_k, d)
+        # -> (h_k, rows_pad, block_k)
+        s2 = jax.lax.dot_general(
+            qs, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if softcap > 0.0:
+            tt = jnp.tanh(s2 * (1.0 / LOG2E) / softcap)
+            s2 = tt * softcap * LOG2E
+        elif has_descale:
+            s2 = s2 * qkd
+
+        if has_alibi:
+            slope = slopes_ref[0]  # (h_k, rows_pad, 1)
+            if causal:
+                bias = (pos_k - (sk_eff - 1)).astype(jnp.float32)
             else:
-                s2 = jax.lax.dot_general(
-                    qs_all[kh], k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if has_descale:
-                    s2 = s2 * (descale_ref[0, b_idx, kh]
-                               * descale_ref[1, b_idx, kh])
+                bias = -jnp.abs(tok + shift - pos_k).astype(jnp.float32)
+            s2 = s2 + slope * LOG2E * bias[None]
 
-            if has_alibi:
-                slope = slopes_ref[0, kh]  # (rows_pad, 1)
-                if causal:
-                    bias = (pos_k - (sk_eff - 1)).astype(jnp.float32)
-                else:
-                    bias = -jnp.abs(tok + shift - pos_k).astype(jnp.float32)
-                s2 = s2 + slope * LOG2E * bias
+        s2 = jnp.where(valid, s2, NEG_INF)
 
-            s2 = jnp.where(valid, s2, NEG_INF)
-
-            m_prev = m_s[kh]
-            l_prev = l_s[kh]
-            row_max = jnp.max(s2, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev,
-                                jnp.broadcast_to(row_max, m_prev.shape))
-            m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
-            p = jnp.exp2(s2 - m_safe[:, :1])
-            corr = jnp.exp2(m_prev - m_safe)
-            row_sum = jnp.sum(p, axis=-1, keepdims=True)
-            l_s[kh] = l_prev * corr + jnp.broadcast_to(row_sum, l_prev.shape)
-            m_s[kh] = m_new
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc[kh] = acc[kh] * corr[:, :1] + pv
+        m_prev = m_s[...]  # (h_k, rows_pad, 128)
+        l_prev = l_s[...]
+        row_max = jnp.max(s2, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(row_max, m_prev.shape))
+        m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        p = jnp.exp2(s2 - m_safe[:, :, :1])
+        corr = jnp.exp2(m_prev - m_safe)
+        row_sum = jnp.sum(p, axis=-1, keepdims=True)
+        l_s[...] = l_prev * corr + jnp.broadcast_to(row_sum, l_prev.shape)
+        m_s[...] = m_new
+        # (h_k, rows_pad, block_k) x (h_k, block_k, dv) -> (h_k, rows_pad, dv)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc[...] = acc[...] * corr[:, :, :1] + pv
 
     # Unroll-by-2 pipeline with static slots.
     def pair_body(p2, _):
@@ -209,15 +213,14 @@ def _decode_kernel(
     num_pairs = (t_hi - t_lo + 1) // 2
     jax.lax.fori_loop(0, num_pairs, pair_body, 0)
 
-    for kh in range(H):
-        m = m_s[kh][:, :1]
-        l = l_s[kh][:, :1]
-        lse = m * LN2 + jnp.log(l)  # -inf when the split saw nothing
-        inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        if has_descale:
-            inv_l = inv_l * descale_ref[2, b_idx, kh]
-        outp_ref[0, 0, kh] = acc[kh] * inv_l
-        lsep_ref[0, 0, kh] = lse
+    m = m_s[:, :, :1]  # (h_k, rows_pad, 1)
+    l = l_s[:, :, :1]
+    lse = m * LN2 + jnp.log(l)  # -inf when the split saw nothing
+    inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
+    if has_descale:
+        inv_l = inv_l * descale_ref[1, 0][:, :1].reshape(H, 1, 1)
+    outp_ref[0, 0] = acc[...] * inv_l
+    lsep_ref[0, 0] = lse
 
 
 @functools.partial(
@@ -411,13 +414,15 @@ def flash_attention_decode(
                    or v_descale is not None)
     if has_descale:
         ones = jnp.ones((b, h_k), jnp.float32)
-        descale = jnp.stack([
-            ones if q_descale is None else q_descale.astype(jnp.float32),
-            ones if k_descale is None else k_descale.astype(jnp.float32),
-            ones if v_descale is None else v_descale.astype(jnp.float32),
-        ])
-        in_specs.append(pl.BlockSpec((3, b, h_k), lambda b_, s, *_: (0, 0, 0),
-                                     memory_space=pltpu.SMEM))
+        qd = ones if q_descale is None else q_descale.astype(jnp.float32)
+        kd = ones if k_descale is None else k_descale.astype(jnp.float32)
+        vd = ones if v_descale is None else v_descale.astype(jnp.float32)
+        # (2, b, h_k, 128): [0]=qd*kd, [1]=vd, lane-replicated for vector
+        # reads in the batched-head kernel.
+        descale = jnp.broadcast_to(
+            jnp.stack([qd * kd, vd])[..., None], (2, b, h_k, 128))
+        in_specs.append(pl.BlockSpec(
+            (2, 1, h_k, 128), lambda b_, s, *_: (0, b_, 0, 0)))
         inputs.append(descale)
     in_specs += [
         pl.BlockSpec((1, h_k, rows_pad, d), lambda b_, s, *_: (b_, 0, 0, 0)),
