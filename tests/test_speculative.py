@@ -52,3 +52,66 @@ def test_speculative_perfect_draft_accepts_everything():
     assert n_calls <= max_calls, (n_calls, max_calls)
     ref_seqs, _ = decode(ids, model, params, cfg)
     np.testing.assert_array_equal(np.asarray(seqs), np.asarray(ref_seqs))
+
+
+def test_speculative_batched_greedy_equivalence():
+    """batch > 1 (beyond the reference's batch-1 assert, generation.py:302):
+    every row must equal the target's own greedy decode."""
+    target_model, target_params = _make(96, 2, 64, 4, jax.random.PRNGKey(0))
+    draft_model, draft_params = _make(96, 1, 32, 2, jax.random.PRNGKey(1))
+    ids = jax.random.randint(jax.random.PRNGKey(5), (3, 6), 0, 96)
+    cfg = GenerationConfig(max_length=20, top_k=1)
+    ref_seqs, _ = decode(ids, target_model, target_params, cfg)
+    spec_seqs, _ = decode_speculative(
+        ids, target_model, target_params, draft_model, draft_params, cfg,
+        speculative_k=3)
+    np.testing.assert_array_equal(np.asarray(spec_seqs), np.asarray(ref_seqs))
+
+
+def test_sample_speculative_distribution():
+    """Probability-ratio acceptance must reproduce the target distribution
+    exactly (Leviathan et al. Alg. 1; reference sample_speculative:209):
+    check the marginal of the FIRST emitted token against p_target."""
+    from flash_attn_tpu.serving.speculative import sample_speculative
+
+    rng = np.random.RandomState(0)
+    vocab, k = 8, 3
+    lt = jnp.asarray(rng.randn(1, k + 1, vocab), jnp.float32)
+    ld = jnp.asarray(rng.randn(1, k, vocab), jnp.float32)
+    p_t = np.asarray(jax.nn.softmax(lt[0, 0]))
+    p_d = np.asarray(jax.nn.softmax(ld[0, 0]))
+
+    n = 20000
+    counts = np.zeros(vocab)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    dkeys = jax.random.split(jax.random.PRNGKey(1), n)
+
+    @jax.jit
+    def one(key, dkey):
+        toks = jax.random.categorical(dkey, jnp.broadcast_to(ld[:, :, :],
+                                                             (1, k, vocab)),
+                                      axis=-1).astype(jnp.int32)
+        tokens, num = sample_speculative(lt, ld, toks, key,
+                                         top_k=0, top_p=0.0)
+        return tokens[0, 0]
+
+    firsts = np.asarray(jax.vmap(one)(keys, dkeys))
+    for v in range(vocab):
+        counts[v] = (firsts == v).sum()
+    emp = counts / n
+    np.testing.assert_allclose(emp, p_t, atol=0.015)
+
+
+def test_speculative_sampling_runs_and_terminates():
+    """Non-greedy config end-to-end smoke: finishes, right shapes, tokens in
+    vocab."""
+    target_model, target_params = _make(64, 2, 64, 4, jax.random.PRNGKey(0))
+    draft_model, draft_params = _make(64, 1, 32, 2, jax.random.PRNGKey(1))
+    ids = jax.random.randint(jax.random.PRNGKey(5), (2, 5), 0, 64)
+    cfg = GenerationConfig(max_length=18, top_k=8, temperature=0.9)
+    seqs, n_calls = decode_speculative(
+        ids, target_model, target_params, draft_model, draft_params, cfg,
+        speculative_k=3, rng=jax.random.PRNGKey(11))
+    assert seqs.shape == (2, 18)
+    assert int(seqs.max()) < 64 and int(seqs.min()) >= 0
+    assert n_calls >= 2
