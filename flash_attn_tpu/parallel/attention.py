@@ -11,8 +11,19 @@ kernels/flash_decode.combine_splits.
    (the surrounding TP linears produce/consume head-sharded activations).
  - ``ring_attention``: KV shards rotate around the seq axis with
    jax.lax.ppermute; each step merges a partial (out, lse) pair online.
-   Causal load-balance uses the striped ("zigzag") assignment later; v1
-   computes the full band and masks.
+
+Causal load balance (round 2): tokens are assigned to devices in a
+*striped* (round-robin) layout — global token i lives on device i % P at
+local index i // P (Striped Attention, arXiv:2311.09431). Then every
+(q-stripe, kv-stripe) interaction is exactly one local kernel: causal when
+the kv stripe index <= the q stripe index, *strictly* causal otherwise
+(global i*P + r >= j*P + s  <=>  i >= j when s <= r, i > j when s > r).
+Each device does identical work every step — no skipped chunks, no
+double-computed mask variants (the round-1 version ran BOTH a causal and a
+non-causal kernel per step and selected; 2x the FLOPs) — and the per-step
+cost is half the non-causal cost, so CP causal FLOPs match single-device
+causal FLOPs exactly. ``stripe_sequence``/``unstripe_sequence`` convert
+layouts; the wrappers convert internally unless ``pre_striped=True``.
 """
 
 import functools
@@ -28,7 +39,30 @@ from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 from flash_attn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
 __all__ = ["head_parallel_attention", "ring_attention",
-           "ring_attention_trainable"]
+           "ring_attention_trainable", "stripe_sequence",
+           "unstripe_sequence"]
+
+
+def stripe_sequence(x, num_devices: int, axis: int = 2):
+    """Natural token order -> striped layout: global token j*P + r moves to
+    position r*L + j (L = s // P), so a contiguous seq shard r holds the
+    round-robin stripe r. Pure reshape/transpose; its own inverse is
+    ``unstripe_sequence``."""
+    P = num_devices
+    s = x.shape[axis]
+    assert s % P == 0, (s, P)
+    L = s // P
+    shp = x.shape[:axis] + (L, P) + x.shape[axis + 1:]
+    return jnp.swapaxes(x.reshape(shp), axis, axis + 1).reshape(x.shape)
+
+
+def unstripe_sequence(x, num_devices: int, axis: int = 2):
+    """Inverse of ``stripe_sequence``."""
+    P = num_devices
+    s = x.shape[axis]
+    L = s // P
+    shp = x.shape[:axis] + (P, L) + x.shape[axis + 1:]
+    return jnp.swapaxes(x.reshape(shp), axis, axis + 1).reshape(x.shape)
 
 
 def head_parallel_attention(
@@ -72,60 +106,59 @@ def _merge_partials(o1, lse1, o2, lse2):
     return o, lse
 
 
+def _striped_partial(q, k_cur, v_cur, src_rank, my, scale, causal,
+                     interpret):
+    """One ring step's local partial: ONE kernel, mask picked at runtime.
+
+    Striped layout: kv stripe src_rank vs q stripe my attend causally when
+    src_rank <= my, strictly-causally when src_rank > my. lax.cond compiles
+    both variants once and runs exactly one.
+    """
+    if not causal:
+        o_p, lse_p = flash_attention_fwd(
+            q, k_cur, v_cur, causal=False, softmax_scale=scale,
+            interpret=interpret)
+        return o_p.astype(jnp.float32), lse_p
+    o_p, lse_p = jax.lax.cond(
+        src_rank <= my,
+        lambda q, k, v: flash_attention_fwd(
+            q, k, v, causal=True, softmax_scale=scale, interpret=interpret),
+        lambda q, k, v: flash_attention_fwd(
+            q, k, v, strict_causal=True, softmax_scale=scale,
+            interpret=interpret),
+        q, k_cur, v_cur)
+    return o_p.astype(jnp.float32), lse_p
+
+
 def ring_attention(
     mesh: Mesh,
     causal: bool = True,
     softmax_scale: Optional[float] = None,
     interpret: bool = False,
     axis_name: str = SEQ_AXIS,
+    pre_striped: bool = False,
 ):
     """Context-parallel attention: q/k/v sharded on seq axis
     (b, h, s/P, d per device); KV rotates around the ring.
 
-    Sequence order = axis order (device r holds tokens [r*s/P, (r+1)*s/P)).
-    Causal masking between chunks: a full chunk if kv_rank < q_rank, the
-    diagonal chunk causally, skip if kv_rank > q_rank (computed & discarded
-    via -inf lse in v1).
+    Inputs/outputs are in natural token order; internally tokens are
+    striped across devices for causal load balance (see module docstring).
+    Pass ``pre_striped=True`` when the caller already feeds striped data
+    (e.g. the data loader stripes once per batch).
     """
     spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS, None)
+    n_seq = mesh.shape[axis_name]
 
     def local(q, k, v):
         P_ = jax.lax.axis_size(axis_name)
         my = jax.lax.axis_index(axis_name)
-        sq = q.shape[2]
-        if softmax_scale is None:
-            scale = 1.0 / math.sqrt(q.shape[-1])
-        else:
-            scale = softmax_scale
+        scale = softmax_scale or 1.0 / math.sqrt(q.shape[-1])
 
         def step(carry, t):
             o, lse, k_cur, v_cur = carry
-            src_rank = (my - t) % P_  # whose KV chunk we hold this step
-            # local partial against this chunk
-            if causal:
-                # chunk fully before ours: no mask; ours: causal; after: skip
-                is_diag = src_rank == my
-                is_before = src_rank < my
-                o_c, lse_c = flash_attention_fwd(
-                    q, k_cur, v_cur, causal=True, softmax_scale=scale,
-                    interpret=interpret,
-                )
-                o_f, lse_f = flash_attention_fwd(
-                    q, k_cur, v_cur, causal=False, softmax_scale=scale,
-                    interpret=interpret,
-                )
-                neg = jnp.full_like(lse_f, -jnp.inf)
-                lse_p = jnp.where(is_diag, lse_c,
-                                  jnp.where(is_before, lse_f, neg))
-                o_p = jnp.where(is_diag, o_c.astype(jnp.float32),
-                                jnp.where(is_before,
-                                          o_f.astype(jnp.float32), 0.0))
-            else:
-                o_p, lse_p = flash_attention_fwd(
-                    q, k_cur, v_cur, causal=False, softmax_scale=scale,
-                    interpret=interpret,
-                )
-                o_p = o_p.astype(jnp.float32)
+            src_rank = (my - t) % P_  # whose KV stripe we hold this step
+            o_p, lse_p = _striped_partial(
+                q, k_cur, v_cur, src_rank, my, scale, causal, interpret)
             o, lse = _merge_partials(o, lse, o_p, lse_p)
             # rotate KV to the next device (overlappable with next compute)
             perm = [(i, (i + 1) % P_) for i in range(P_)]
@@ -140,10 +173,18 @@ def ring_attention(
             step, (o0, lse0, k, v), jnp.arange(P_))
         return o.astype(q.dtype)
 
-    return jax.jit(jax.shard_map(
+    ring = jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
-    ))
+    )
+    if not causal or pre_striped:
+        return jax.jit(ring)
+
+    def wrapped(q, k, v):
+        st = lambda x: stripe_sequence(x, n_seq)
+        return unstripe_sequence(ring(st(q), st(k), st(v)), n_seq)
+
+    return jax.jit(wrapped)
 
 
 def ring_attention_trainable(
@@ -152,17 +193,21 @@ def ring_attention_trainable(
     softmax_scale: Optional[float] = None,
     interpret: bool = False,
     axis_name: str = SEQ_AXIS,
+    pre_striped: bool = False,
 ):
     """Differentiable ring attention (context-parallel training).
 
     Forward as in ``ring_attention``; the backward rotates the KV shards
     around the ring again, accumulating dK/dV alongside the traveling chunk
     (so each device's dK/dV arrive home after P steps) while dQ accumulates
-    locally. Per-chunk gradients come from the standard two-kernel bwd with
+    locally. Per-chunk gradients come from the standard bwd kernel with
     the *global* lse — p = exp(s - lse_global) makes each chunk's
-    contribution exact.
+    contribution exact. Each step runs ONE bwd kernel (causal or strict,
+    lax.cond-selected by stripe rank), so CP fwd+bwd FLOPs match the
+    single-device kernels'.
     """
     spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS, None)
+    n_seq = mesh.shape[axis_name]
 
     def local(q, k, v):
         P_ = jax.lax.axis_size(axis_name)
@@ -175,34 +220,15 @@ def ring_attention_trainable(
             o, _ = _ring_fwd_res(q, k, v, my_f)
             return o
 
-        def _partial(q, k_cur, v_cur, src_rank, my_i):
-            o_c, lse_c = flash_attention_fwd(
-                q, k_cur, v_cur, causal=True, softmax_scale=scale,
-                interpret=interpret)
-            o_f, lse_f = flash_attention_fwd(
-                q, k_cur, v_cur, causal=False, softmax_scale=scale,
-                interpret=interpret)
-            if causal:
-                neg = jnp.full_like(lse_f, -jnp.inf)
-                is_diag = src_rank == my_i
-                is_before = src_rank < my_i
-                lse_p = jnp.where(is_diag, lse_c,
-                                  jnp.where(is_before, lse_f, neg))
-                o_p = jnp.where(is_diag, o_c.astype(jnp.float32),
-                                jnp.where(is_before,
-                                          o_f.astype(jnp.float32), 0.0))
-            else:
-                lse_p = lse_f
-                o_p = o_f.astype(jnp.float32)
-            return o_p, lse_p
-
         def _ring_fwd_res(q, k, v, my_f):
             my_i = my_f.astype(jnp.int32)
 
             def step(carry, t):
                 o, lse, k_cur, v_cur = carry
                 src_rank = (my_i - t) % P_
-                o_p, lse_p = _partial(q, k_cur, v_cur, src_rank, my_i)
+                o_p, lse_p = _striped_partial(
+                    q, k_cur, v_cur, src_rank, my_i, scale, causal,
+                    interpret)
                 o, lse = _merge_partials(o, lse, o_p, lse_p)
                 k_n = jax.lax.ppermute(k_cur, axis_name, perm)
                 v_n = jax.lax.ppermute(v_cur, axis_name, perm)
@@ -225,23 +251,20 @@ def ring_attention_trainable(
                 dq_acc, k_cur, v_cur, dk_acc, dv_acc = carry
                 src_rank = (my_r - t) % P_
 
-                def grads(flag_causal):
-                    return flash_attention_bwd(
-                        g, q, k_cur, v_cur, out, lse, causal=flag_causal,
-                        softmax_scale=scale, interpret=interpret)
-
-                dq_c, dk_c, dv_c = grads(True)
-                dq_f, dk_f, dv_f = grads(False)
                 if causal:
-                    is_diag = src_rank == my_r
-                    is_before = src_rank < my_r
-                    pick = lambda c, f: jnp.where(
-                        is_diag, c, jnp.where(is_before, f, 0.0))
-                    dq_p = pick(dq_c, dq_f)
-                    dk_p = pick(dk_c, dk_f)
-                    dv_p = pick(dv_c, dv_f)
+                    dq_p, dk_p, dv_p = jax.lax.cond(
+                        src_rank <= my_r,
+                        lambda g, q, k, v, o, l: flash_attention_bwd(
+                            g, q, k, v, o, l, causal=True,
+                            softmax_scale=scale, interpret=interpret),
+                        lambda g, q, k, v, o, l: flash_attention_bwd(
+                            g, q, k, v, o, l, strict_causal=True,
+                            softmax_scale=scale, interpret=interpret),
+                        g, q, k_cur, v_cur, out, lse)
                 else:
-                    dq_p, dk_p, dv_p = dq_f, dk_f, dv_f
+                    dq_p, dk_p, dv_p = flash_attention_bwd(
+                        g, q, k_cur, v_cur, out, lse, causal=False,
+                        softmax_scale=scale, interpret=interpret)
                 dq_acc = dq_acc + dq_p
                 dk_acc = dk_acc + dk_p
                 dv_acc = dv_acc + dv_p
@@ -264,7 +287,15 @@ def ring_attention_trainable(
         _ring.defvjp(_ring_fwd_res, _ring_bwd)
         return _ring(q, k, v, jnp.asarray(my, jnp.float32))
 
-    return jax.jit(jax.shard_map(
+    ring = jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
-    ))
+    )
+    if not causal or pre_striped:
+        return jax.jit(ring)
+
+    def wrapped(q, k, v):
+        st = lambda x: stripe_sequence(x, n_seq)
+        return unstripe_sequence(ring(st(q), st(k), st(v)), n_seq)
+
+    return jax.jit(wrapped)

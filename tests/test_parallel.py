@@ -135,3 +135,42 @@ def test_tp_generation_matches_single_device():
         params_sh = shard_params(params, mesh)
         tp_seqs, _ = decode(ids, model, params_sh, gen)
     np.testing.assert_array_equal(np.asarray(tp_seqs), np.asarray(ref_seqs))
+
+
+def test_ring_attention_no_double_compute():
+    """Round-2 contract (VERDICT item 6): the causal ring step must run ONE
+    kernel per step — the causal/strict-causal pick rides a lax.cond, never
+    two unconditional kernel calls (round 1 computed both variants and
+    selected, 2x the FLOPs)."""
+    import jax
+    from flash_attn_tpu.parallel.attention import ring_attention
+
+    mesh = make_mesh(data=1, model=2, seq=4)
+    b, h, s, d = 1, 2, 256, 64
+    q, k, v = _qkv(jax.random.PRNGKey(0), b, h, s, d)
+    fn = ring_attention(mesh, causal=True, interpret=True)
+    jaxpr = jax.make_jaxpr(lambda q, k, v: fn(q, k, v))(q, k, v)
+
+    def walk(jx, in_cond=False):
+        """Yield (primitive_name, in_cond) over all nested jaxprs."""
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            yield name, in_cond
+            child_cond = in_cond or name == "cond"
+            for param in eqn.params.values():
+                for sub in jax.tree_util.tree_leaves(
+                        param, is_leaf=lambda x: isinstance(
+                            x, (jax.extend.core.Jaxpr,
+                                jax.extend.core.ClosedJaxpr))):
+                    if isinstance(sub, jax.extend.core.ClosedJaxpr):
+                        yield from walk(sub.jaxpr, child_cond)
+                    elif isinstance(sub, jax.extend.core.Jaxpr):
+                        yield from walk(sub, child_cond)
+
+    names = list(walk(jaxpr.jaxpr))
+    pallas = [(n, c) for n, c in names if n == "pallas_call"]
+    assert pallas, "no pallas_call found in ring jaxpr"
+    unconditional = [p for p in pallas if not p[1]]
+    assert not unconditional, (
+        f"{len(unconditional)} pallas_call(s) outside lax.cond — "
+        "ring step computes mask variants unconditionally")
