@@ -108,10 +108,14 @@ def bench_bwd(peak):
     k = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.PRNGKey(3), (b, s, h, d), jnp.bfloat16)
 
-    g = jax.jit(jax.grad(
-        lambda q, k, v: flash_attn_func(q, k, v, causal=True)
-        .astype(jnp.float32).sum(), argnums=(0, 1, 2)))
-    t = bench_fn(lambda q, k, v: g(q, k, v)[0], q, k, v)
+    # Time the BACKWARD ONLY (the reference's out.backward() timing,
+    # hopper/benchmark_attn.py:386-398): vjp residuals precomputed, the
+    # pullback is the timed program.
+    fwd = lambda q, k, v: flash_attn_func(q, k, v, causal=True)
+    out, pullback = jax.vjp(fwd, q, k, v)
+    do = jnp.ones_like(out)
+    pb = jax.jit(pullback)
+    t = bench_fn(lambda g_: pb(g_)[0], do)
     # reference convention: bwd flops = 2.5x fwd (hopper/benchmark_attn.py)
     flops = 2.5 * 4.0 * b * h * s * s * d / 2
     return flops / t / 1e12, t

@@ -68,6 +68,9 @@ def bwd_fused(bq=None, bk=None, causal=True, s=4096):
     out, lse = jax.jit(lambda q, k, v: flash_attention_fwd(
         q, k, v, causal=causal, return_lse=True))(q, k, v)
     do = jnp.ones_like(out)
+    # fused bwd is bshd-native
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    do, q, k, v, out = tr(do), tr(q), tr(k), tr(v), tr(out)
 
     fn = jax.jit(lambda do, q, k, v, out, lse: flash_attention_bwd_fused(
         do, q, k, v, out, lse, causal=causal,

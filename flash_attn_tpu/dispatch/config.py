@@ -71,12 +71,12 @@ def get_bwd_config(
     causal: bool,
     dtype_bits: int = 16,
 ) -> BwdConfig:
-    # Measured on v5e (benchmarks/autotune_bwd.py, seq4k causal d128):
-    # (1024,512) -> 91.6 TF/s vs (256,256) -> 61.6.
-    if head_dim <= 128:
-        bq, bk = 1024, 512
-    else:
-        bq, bk = 512, 512
+    # Measured on v5e for the FUSED single-pass backward (round-2 sweep,
+    # seq4k causal d128): (512,512) -> 102.1 TF/s-equiv, (1024,1024) 99.4,
+    # (1024,512) 99.6, (512,1024) 96.6, (256,512) 89.0. The round-1
+    # two-kernel numbers preferred (1024,512); the fused kernel's resident
+    # full-KV accumulators favor the smaller square tile.
+    bq, bk = 512, 512
     return BwdConfig(
         block_q=_round_block(seqlen_q, bq, 128),
         block_k=_round_block(seqlen_k, bk, 128),

@@ -42,14 +42,15 @@ def _use_interpret() -> bool:
 # custom_vjp boundary.
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16),
 )
 def _flash_attn(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
+                aux_tensors,
                 softmax_scale, causal, window_size, softcap,
                 attention_chunk, sink_token_length, deterministic, dropout_p,
                 score_mod, mask_mod):
     (out, lse), _ = _flash_attn_fwd_res(
-        q, k, v, alibi_slopes, learnable_sink, dropout_seed,
+        q, k, v, alibi_slopes, learnable_sink, dropout_seed, aux_tensors,
         softmax_scale, causal, window_size, softcap,
         attention_chunk, sink_token_length, deterministic, dropout_p,
         score_mod, mask_mod,
@@ -58,6 +59,7 @@ def _flash_attn(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
 
 
 def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
+                        aux_tensors,
                         softmax_scale, causal, window_size, softcap,
                         attention_chunk, sink_token_length, deterministic,
                         dropout_p, score_mod=None, mask_mod=None):
@@ -78,26 +80,25 @@ def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         sink_token_length=sink_token_length,
         score_mod=score_mod,
         mask_mod=mask_mod,
+        aux_tensors=aux_tensors,
         interpret=_use_interpret(),
     )
     out = jnp.swapaxes(out_t, 1, 2)
     return (out, lse), (q, k, v, alibi_slopes, learnable_sink, dropout_seed,
-                        out, lse)
+                        aux_tensors, out, lse)
 
 
 def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
                     attention_chunk, sink_token_length, deterministic,
                     dropout_p, score_mod, mask_mod, residuals, g):
-    q, k, v, alibi_slopes, learnable_sink, dropout_seed, out, lse = residuals
+    (q, k, v, alibi_slopes, learnable_sink, dropout_seed, aux_tensors,
+     out, lse) = residuals
     # g = (g_out, g_lse); lse is an inspection output (reference returns it
     # from _flash_attn_forward the same way) — its cotangent is dropped.
-    dq, dk, dv = flash_attention_bwd(
-        jnp.swapaxes(g[0], 1, 2),
-        jnp.swapaxes(q, 1, 2),
-        jnp.swapaxes(k, 1, 2),
-        jnp.swapaxes(v, 1, 2),
-        jnp.swapaxes(out, 1, 2),
-        lse,
+    # Everything stays bshd: the fused backward is bshd-native (the round-1
+    # swapaxes around the bwd were ~15% of whole-grad time).
+    grads = flash_attention_bwd(
+        g[0], q, k, v, out, lse,
         alibi_slopes=alibi_slopes,
         learnable_sink=learnable_sink,
         dropout_p=dropout_p,
@@ -110,17 +111,25 @@ def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
         sink_token_length=sink_token_length,
         score_mod=score_mod,
         mask_mod=mask_mod,
+        aux_tensors=aux_tensors,
         interpret=_use_interpret(),
     )
-    dq = jnp.swapaxes(dq, 1, 2).astype(q.dtype)
-    dk = jnp.swapaxes(dk, 1, 2).astype(k.dtype)
-    dv = jnp.swapaxes(dv, 1, 2).astype(v.dtype)
+    if aux_tensors:
+        dq, dk, dv, daux = grads
+        daux = tuple(da.astype(ax.dtype)
+                     for da, ax in zip(daux, aux_tensors))
+    else:
+        dq, dk, dv = grads
+        daux = ()
+    dq = dq.astype(q.dtype)
+    dk = dk.astype(k.dtype)
+    dv = dv.astype(v.dtype)
     # No gradient for alibi slopes / sink yet (reference treats slopes as
     # non-learnable too; sink grads TODO).
     d_slopes = None if alibi_slopes is None else jnp.zeros_like(alibi_slopes)
     d_sink = None if learnable_sink is None else jnp.zeros_like(learnable_sink)
     d_seed = None if dropout_seed is None else jnp.zeros_like(dropout_seed)
-    return dq, dk, dv, d_slopes, d_sink, d_seed
+    return dq, dk, dv, d_slopes, d_sink, d_seed, daux
 
 
 _flash_attn.defvjp(_flash_attn_fwd_res, _flash_attn_bwd)
@@ -146,8 +155,9 @@ def flash_attn_func(
     k_descale=None,
     v_descale=None,
     qv=None,  # (b, sq, h, dv) — MLA extra query term (inference only)
-    score_mod=None,  # fn(scores, b, h, rows, cols) — differentiable
-    mask_mod=None,   # fn(b, h, rows, cols) -> bool keep
+    score_mod=None,  # fn(scores, b, h, rows, cols[, aux]) — differentiable
+    mask_mod=None,   # fn(b, h, rows, cols[, aux]) -> bool keep
+    aux_tensors=None,  # tuple of arrays for score_mod/mask_mod; grads flow
 ):
     """Drop-in analogue of the reference ``flash_attn_func``
     (flash_attn/flash_attn_interface.py:1156).
@@ -195,6 +205,7 @@ def flash_attn_func(
         return (out, lse) if return_attn_probs else out
     out, lse = _flash_attn(
         q, k, v, alibi_slopes, learnable_sink, dropout_seed,
+        tuple(aux_tensors) if aux_tensors else (),
         softmax_scale, causal, window_size, softcap,
         attention_chunk, sink_token_length, deterministic, dropout_p,
         score_mod, mask_mod,

@@ -38,12 +38,14 @@ NEG_INF = float("-inf")
 def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
                  window_left, window_right, attention_chunk,
                  sink_token_length, seqlen_k, shift, slope,
-                 score_mod=None, mask_mod=None, b_idx=None, h_idx=None):
+                 score_mod=None, mask_mod=None, b_idx=None, h_idx=None,
+                 aux=()):
     """Recompute the masked base-2 score block s2 (block_q, block_k) exactly
-    as the forward kernel built it. Returns (s2, ds_chain) where ds_chain
-    maps dL/d(modified scores) back to dL/d(raw scaled scores) — identity
-    unless softcap or a score_mod applies (both are pointwise maps whose
-    vjp is traced inline)."""
+    as the forward kernel built it. Returns (s2, ds_chain) where
+    ds_chain(ds) -> (ds_raw, daux): dL/d(raw scaled scores) plus this tile's
+    aux-tensor cotangent contributions (daux is () unless aux given) —
+    identity unless softcap or a score_mod applies (both pointwise maps
+    whose vjp is traced inline)."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -70,8 +72,13 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
         # contract.
         rows_m = jnp.broadcast_to(rows, (block_q, block_k))
         cols_m = jnp.broadcast_to(cols, (block_q, block_k))
-        s, mod_vjp = jax.vjp(
-            lambda x: score_mod(x, b_idx, h_idx, rows_m, cols_m), s)
+        if aux:
+            s, mod_vjp = jax.vjp(
+                lambda x, a: score_mod(x, b_idx, h_idx, rows_m, cols_m, a),
+                s, aux)
+        else:
+            s, mod_vjp = jax.vjp(
+                lambda x: score_mod(x, b_idx, h_idx, rows_m, cols_m), s)
     s2 = s * LOG2E
     if slope is not None:
         if causal:
@@ -114,18 +121,24 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
         if mask_mod is not None:
             rows_m = jnp.broadcast_to(rows, (block_q, block_k))
             cols_m = jnp.broadcast_to(cols, (block_q, block_k))
-            valid = _and(valid, mask_mod(b_idx, h_idx, rows_m, cols_m))
+            valid = _and(valid, mask_mod(b_idx, h_idx, rows_m, cols_m)
+                         if not aux else
+                         mask_mod(b_idx, h_idx, rows_m, cols_m, aux))
         valid = jnp.broadcast_to(valid, (block_q, block_k))
         s2 = jnp.where(valid, s2, NEG_INF)
         if dtanh is not None:
             dtanh = jnp.where(valid, dtanh, 0.0)
 
     def ds_chain(ds):
+        daux = ()
         if mod_vjp is not None:
-            ds = mod_vjp(ds)[0]
+            if aux:
+                ds, daux = mod_vjp(ds)
+            else:
+                ds = mod_vjp(ds)[0]
         if dtanh is not None:
             ds = ds * dtanh
-        return ds
+        return ds, daux
 
     return s2, ds_chain
 
@@ -236,7 +249,7 @@ def _dkdv_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_q_blocks,
         )
         if dropout_p > 0.0:
             dp = jnp.where(keep, dp, 0.0) * scale_keep
-        ds = ds_chain(p * (dp - delta))
+        ds, _ = ds_chain(p * (dp - delta))
         if row_pad:
             ds = jnp.where(rv < seqlen_q, ds, 0)
         # dK += dS^T Q * scale
@@ -315,7 +328,7 @@ def _dq_kernel(*refs, block_q, block_k, seqlen_q, seqlen_k, num_kv_blocks,
             keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_idx,
                                 drows, dcols, dropout_p)
             dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_p))
-        ds = ds_chain(p * (dp - delta))
+        ds, _ = ds_chain(p * (dp - delta))
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

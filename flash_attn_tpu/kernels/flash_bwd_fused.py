@@ -65,13 +65,20 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
                       softcap, causal, window_left, window_right,
                       attention_chunk, sink_token_length, has_alibi,
                       dropout_p, num_heads, score_mod, mask_mod,
-                      dq_dtype, dk_dtype, dv_dtype):
+                      dq_dtype, dk_dtype, dv_dtype, num_aux, num_batch,
+                      num_kv_heads, bshd):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
     slopes_ref = refs.pop(0) if has_alibi else None
+    aux = tuple(refs.pop(0)[...] for _ in range(num_aux))
     (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-     dq_ref, dk_hbm, dv_hbm,
-     dq_acc, dk_all, dv_all, copy_sems) = refs
+     dq_ref, dk_hbm, dv_hbm, *rest) = refs
+    # daux outputs are block-spec'd with constant index maps: Pallas keeps
+    # each block resident in VMEM across the whole sequential grid (standard
+    # revisited-accumulator pattern) and writes back once at the end — no
+    # manual DMA, so arbitrary aux shapes stay alignment-safe.
+    daux_refs = rest[:num_aux]
+    (dq_acc, dk_all, dv_all, copy_sems) = rest[num_aux:]
 
     b_idx = pl.program_id(0)
     hk_idx = pl.program_id(1)
@@ -83,20 +90,45 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
     i, n, t_first, t_last = band.decode(t)
     seg_first = jnp.logical_and(g == 0, t == 0)
     seg_last = jnp.logical_and(g == group - 1, t == band.num_tiles - 1)
+    grid_first = jnp.logical_and(jnp.logical_and(b_idx == 0, hk_idx == 0),
+                                 seg_first)
+    grid_last = jnp.logical_and(
+        jnp.logical_and(b_idx == num_batch - 1, hk_idx == num_kv_heads - 1),
+        seg_last)
 
     @pl.when(seg_first)
     def _seg_init():
         dk_all[...] = jnp.zeros_like(dk_all)
         dv_all[...] = jnp.zeros_like(dv_all)
 
+    if num_aux:
+        @pl.when(grid_first)
+        def _aux_init():
+            for ref in daux_refs:
+                ref[...] = jnp.zeros_like(ref)
+
     @pl.when(t == t_first)
     def _row_init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0, 0]       # (bq, d)
-    do = do_ref[0, 0]     # (bq, dv)
-    k = k_ref[0, 0]       # (bk, d)
-    v = v_ref[0, 0]       # (bk, dv)
+    # bshd fast path: the public (b, s, h, d) arrays are viewed as
+    # (b, s, h*d) (free bitcast) and blocked (1, blk, d) with the head
+    # selected by the index map — Mosaic requires the last two block dims
+    # be (8, 128)-divisible or full, which (blk, d) satisfies for
+    # d % 128 == 0. This streams the public layout straight into the
+    # kernel with no materialized (s, h) transpose (those transposes were
+    # ~15% of whole-grad time). For small head dims the wrapper falls back
+    # to bhsd blocks (1, 1, blk, d) with boundary transposes.
+    if bshd:
+        q = q_ref[0]        # (bq, d)
+        do = do_ref[0]      # (bq, dv)
+        k = k_ref[0]        # (bk, d)
+        v = v_ref[0]        # (bk, dv)
+    else:
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
     lse2 = lse_ref[0, 0, 0].reshape(block_q, 1) * LOG2E
     delta = delta_ref[0, 0, 0].reshape(block_q, 1)
     slope = slopes_ref[b_idx, h_idx] if has_alibi else None
@@ -119,6 +151,7 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         attention_chunk=attention_chunk, sink_token_length=sink_token_length,
         seqlen_k=seqlen_k, shift=shift, slope=slope,
         score_mod=score_mod, mask_mod=mask_mod, b_idx=b_idx, h_idx=h_idx,
+        aux=aux,
     )
     lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
     p = jnp.exp2(s2 - lse2_safe)          # (bq, bk); masked -> 0
@@ -141,7 +174,15 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
     else:
         p_v = p
         dp_d = dp
-    ds = ds_chain(p * (dp_d - delta))
+    ds, daux = ds_chain(p * (dp_d - delta))
+    if num_aux:
+        # Deterministic aux-cotangent accumulation: the vjp emits a full
+        # aux-shaped contribution per tile (zeros off this tile's indices);
+        # summed across the whole sequential grid in fp32 (the TPU answer
+        # to the reference's atomic buffer-grad accumulation in flex
+        # attention — fixed order, no atomics).
+        for ref, da in zip(daux_refs, daux):
+            ref[...] += da.astype(jnp.float32)
     if row_pad:
         ds = jnp.where(rv < seqlen_q, ds, 0)
     p_lo = p_v.astype(do.dtype)
@@ -169,7 +210,10 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
 
     @pl.when(t == t_last)
     def _row_flush():
-        dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_dtype)
+        if bshd:
+            dq_ref[0] = (dq_acc[...] * scale).astype(dq_dtype)
+        else:
+            dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_dtype)
 
     @pl.when(seg_last)
     def _seg_flush():
@@ -184,6 +228,8 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         cp_k.wait()
         cp_v.wait()
 
+    del grid_last  # daux write-back is handled by the grid machinery
+
 
 @functools.partial(
     jax.jit,
@@ -195,11 +241,11 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
     ),
 )
 def flash_attention_bwd_fused(
-    do,   # (b, h, sq, dv)
-    q,    # (b, h, sq, d)
-    k,    # (b, h_k, sk, d)
-    v,    # (b, h_k, sk, dv)
-    out,  # (b, h, sq, dv)
+    do,   # (b, sq, h, dv)   — bshd (public layout, no transpose needed)
+    q,    # (b, sq, h, d)
+    k,    # (b, sk, h_k, d)
+    v,    # (b, sk, h_k, dv)
+    out,  # (b, sq, h, dv)
     lse,  # (b, h, sq) natural-log
     alibi_slopes=None,
     learnable_sink=None,
@@ -215,16 +261,19 @@ def flash_attention_bwd_fused(
     block_k: Optional[int] = None,
     score_mod=None,
     mask_mod=None,
+    aux_tensors=None,  # tuple of arrays handed to score_mod/mask_mod
     interpret: bool = False,
     strict_causal: bool = False,  # col < row (striped ring attention)
 ):
     """Fused-backward twin of flash_bwd.flash_attention_bwd.
 
-    Returns (dq, dk, dv) in the kernel layout: dq (b, h, sq, d) in q.dtype,
-    dk (b, h_k, sk, d) / dv (b, h_k, sk, dv) in fp32 (GQA-reduced).
+    Returns (dq, dk, dv[, daux]): dq (b, sq, h, d) bshd in q.dtype,
+    dk (b, sk, h_k, d) / dv (b, sk, h_k, dv) bshd in fp32 (GQA-reduced).
+    With aux_tensors, appends a tuple of fp32 aux-shaped cotangents
+    (deterministic fixed-order accumulation).
     """
-    b, h, sq, d = q.shape
-    _, h_k, sk, _ = k.shape
+    b, sq, h, d = q.shape
+    _, sk, h_k, _ = k.shape
     dv_dim = v.shape[-1]
     group = h // h_k
     if softmax_scale is None:
@@ -250,10 +299,11 @@ def flash_attention_bwd_fused(
     band = PackedBand(jmin_s, jmax_s)
 
     # Preprocess: delta = rowsum(dO * O) (fp32) — the reference's
-    # flash_bwd_preprocess_kernel as a fused XLA reduction.
+    # flash_bwd_preprocess_kernel as a fused XLA reduction. (b, sq, h) ->
+    # (b, h, 1, sq): tiny relative to the q/k/v streams.
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )  # (b, h, sq)
+    ).transpose(0, 2, 1)  # (b, h, sq)
     lse = lse.astype(jnp.float32)[:, :, None, :]
     delta = delta[:, :, None, :]
 
@@ -274,20 +324,50 @@ def flash_attention_bwd_fused(
             (b, h), amap(lambda b_, hk, g, i, n: (0, 0)),
             memory_space=pltpu.SMEM))
         inputs.append(alibi_slopes.astype(jnp.float32))
-    in_specs += [
-        pl.BlockSpec((1, 1, bq, d),
-                     amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0))),
-        pl.BlockSpec((1, 1, bq, dv_dim),
-                     amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0))),
-        pl.BlockSpec((1, 1, 1, bq),
-                     amap(lambda b_, hk, g, i, n: (b_, hk * group + g, 0, i))),
-        pl.BlockSpec((1, 1, 1, bq),
-                     amap(lambda b_, hk, g, i, n: (b_, hk * group + g, 0, i))),
-        pl.BlockSpec((1, 1, bk, d), amap(lambda b_, hk, g, i, n: (b_, hk, n, 0))),
-        pl.BlockSpec((1, 1, bk, dv_dim),
-                     amap(lambda b_, hk, g, i, n: (b_, hk, n, 0))),
-    ]
-    inputs += [q, do, lse, delta, k, v]
+    aux_tensors = tuple(aux_tensors) if aux_tensors else ()
+    for ax in aux_tensors:
+        nd = ax.ndim
+        in_specs.append(pl.BlockSpec(
+            ax.shape, amap(lambda b_, hk, g, i, n, nd=nd: (0,) * nd)))
+        inputs.append(ax)
+    # bshd fast path requires the head-merged (b, s, h*d) view to be
+    # d-block sliceable on the lane axis: Mosaic wants the last block dim
+    # 128-divisible (or full). Small head dims fall back to bhsd blocks.
+    bshd = d % 128 == 0 and dv_dim % 128 == 0
+    lse_spec = pl.BlockSpec(
+        (1, 1, 1, bq), amap(lambda b_, hk, g, i, n: (b_, hk * group + g, 0, i)))
+    if bshd:
+        q_in = q.reshape(b, sq, h * d)
+        do_in = do.reshape(b, sq, h * dv_dim)
+        k_in = k.reshape(b, sk, h_k * d)
+        v_in = v.reshape(b, sk, h_k * dv_dim)
+        in_specs += [
+            pl.BlockSpec((1, bq, d),
+                         amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g))),
+            pl.BlockSpec((1, bq, dv_dim),
+                         amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g))),
+            lse_spec,
+            lse_spec,
+            pl.BlockSpec((1, bk, d), amap(lambda b_, hk, g, i, n: (b_, n, hk))),
+            pl.BlockSpec((1, bk, dv_dim),
+                         amap(lambda b_, hk, g, i, n: (b_, n, hk))),
+        ]
+    else:
+        q_in, do_in, k_in, v_in = (
+            jnp.swapaxes(x, 1, 2) for x in (q, do, k, v))
+        in_specs += [
+            pl.BlockSpec((1, 1, bq, d),
+                         amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0))),
+            pl.BlockSpec((1, 1, bq, dv_dim),
+                         amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0))),
+            lse_spec,
+            lse_spec,
+            pl.BlockSpec((1, 1, bk, d),
+                         amap(lambda b_, hk, g, i, n: (b_, hk, n, 0))),
+            pl.BlockSpec((1, 1, bk, dv_dim),
+                         amap(lambda b_, hk, g, i, n: (b_, hk, n, 0))),
+        ]
+    inputs += [q_in, do_in, lse, delta, k_in, v_in]
 
     kernel = functools.partial(
         _bwd_fused_kernel,
@@ -299,23 +379,42 @@ def flash_attention_bwd_fused(
         has_alibi=alibi_slopes is not None, dropout_p=dropout_p,
         num_heads=h, score_mod=score_mod, mask_mod=mask_mod,
         dq_dtype=q.dtype, dk_dtype=jnp.float32, dv_dtype=jnp.float32,
+        num_aux=len(aux_tensors), num_batch=b, num_kv_heads=h_k,
+        bshd=bshd,
     )
 
-    dq, dk, dv = pl.pallas_call(
+    daux_out_specs = [
+        pl.BlockSpec(ax.shape,
+                     amap(lambda b_, hk, g, i, n, nd=ax.ndim: (0,) * nd))
+        for ax in aux_tensors
+    ]
+    daux_out_shapes = [jax.ShapeDtypeStruct(ax.shape, jnp.float32)
+                       for ax in aux_tensors]
+
+    if bshd:
+        dq_spec = pl.BlockSpec(
+            (1, bq, d), amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g)))
+        dq_shape = jax.ShapeDtypeStruct((b, sq, h * d), q.dtype)
+    else:
+        dq_spec = pl.BlockSpec(
+            (1, 1, bq, d),
+            amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0)))
+        dq_shape = jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)
+
+    dq, dk, dv, *daux = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, d),
-                         amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0))),
+            dq_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + daux_out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            dq_shape,
             jax.ShapeDtypeStruct((b, h_k, d, sk_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, h_k, dv_dim, sk_pad), jnp.float32),
-        ],
+        ] + daux_out_shapes,
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),          # dq row accumulator
             pltpu.VMEM((d, sk_pad), jnp.float32),      # dk full-KV (d-major)
@@ -323,8 +422,11 @@ def flash_attention_bwd_fused(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
+            # The daux revisited accumulators sum across (b, h_k) too, so
+            # every grid dim must stay sequential when aux grads are live.
             dimension_semantics=(
-                "parallel", "parallel", "arbitrary", "arbitrary"),
+                ("arbitrary",) * 4 if aux_tensors else
+                ("parallel", "parallel", "arbitrary", "arbitrary")),
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * b * h * sq * sk * d // (2 if causal else 1),
@@ -335,24 +437,31 @@ def flash_attention_bwd_fused(
         interpret=interpret,
     )(*inputs)
 
-    dk = jnp.swapaxes(dk, -1, -2)
-    dv = jnp.swapaxes(dv, -1, -2)
+    dq = (dq.reshape(b, sq, h, d) if bshd
+          else jnp.swapaxes(dq, 1, 2))
+    # (b, h_k, d, sk_pad) -> bshd (b, sk, h_k, d); XLA fuses the transpose
+    # with the caller's dtype cast into one copy pass.
+    dk = jnp.transpose(dk, (0, 3, 1, 2))
+    dv = jnp.transpose(dv, (0, 3, 1, 2))
     if sk_pad != sk:
-        dk = dk[:, :, :sk, :]
-        dv = dv[:, :, :sk, :]
+        dk = dk[:, :sk]
+        dv = dv[:, :sk]
+    if aux_tensors:
+        return dq, dk, dv, tuple(daux)
     return dq, dk, dv
 
 
 def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
-    """Dispatch: fused single-pass kernel when the full-KV accumulators fit
-    VMEM (virtually always) and the layouts are DMA-aligned, else the
-    two-kernel flash_bwd path."""
+    """Dispatch with bshd (public-layout) inputs and outputs: fused
+    single-pass kernel when the full-KV accumulators fit VMEM (virtually
+    always) and the layouts are DMA-aligned, else the two-kernel flash_bwd
+    path (which takes bhsd — transposed only on this rare fallback)."""
     from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
 
     d = q.shape[-1]
     dv_dim = v.shape[-1]
-    sk = k.shape[2]
-    sq = q.shape[2]
+    sk = k.shape[1]
+    sq = q.shape[1]
     cfg = get_bwd_config(d, dv_dim, sq, sk, kw.get("causal", False))
     bq = kw.get("block_q") or cfg.block_q
     bk = min(kw.get("block_k") or cfg.block_k, _next_pow2(sk))
@@ -362,4 +471,11 @@ def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
     aligned = sk_pad % 128 == 0 and d % 8 == 0 and dv_dim % 8 == 0
     if aligned and fits_vmem(sk_pad, d, dv_dim, bq):
         return flash_attention_bwd_fused(do, q, k, v, out, lse, **kw)
-    return flash_attention_bwd(do, q, k, v, out, lse, **kw)
+    if kw.pop("aux_tensors", None):
+        raise NotImplementedError(
+            "aux_tensors grads need the fused backward (full-KV "
+            "accumulators exceed VMEM or layout misaligned for this shape)")
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    dq, dk, dv = flash_attention_bwd(
+        tr(do), tr(q), tr(k), tr(v), tr(out), lse, **kw)
+    return tr(dq), tr(dk), tr(dv)

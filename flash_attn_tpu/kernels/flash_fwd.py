@@ -67,6 +67,7 @@ def _fwd_kernel(
     mask_mod,
     out_dtype,
     band: Optional[PackedBand] = None,
+    num_aux: int = 0,
 ):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
@@ -74,6 +75,9 @@ def _fwd_kernel(
     sink_ref = refs.pop(0) if has_sink else None
     descale_ref = refs.pop(0) if has_descale else None  # (3, b, h_k) SMEM
     qv_ref = refs.pop(0) if has_qv else None  # (1,1,bq,dv) extra query
+    # flex-attention aux tensors (reference cute/interface.py aux_tensors):
+    # whole arrays in VMEM, handed to score_mod/mask_mod as jnp values.
+    aux = tuple(refs.pop(0)[...] for _ in range(num_aux))
     q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
 
     b_idx = pl.program_id(0)
@@ -181,7 +185,11 @@ def _fwd_kernel(
             scols = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s_nat = s2 * (1.0 / LOG2E)
-            s2 = score_mod(s_nat, b_idx, h_idx, srows, scols) * LOG2E
+            if num_aux:
+                s2 = score_mod(s_nat, b_idx, h_idx, srows, scols,
+                               aux) * LOG2E
+            else:
+                s2 = score_mod(s_nat, b_idx, h_idx, srows, scols) * LOG2E
 
         if has_alibi:
             slope = slopes_ref[b_idx, h_idx]
@@ -244,7 +252,9 @@ def _fwd_kernel(
                         jnp.int32, (block_q, block_k), 0)
                     cols_m = j * block_k + jax.lax.broadcasted_iota(
                         jnp.int32, (block_q, block_k), 1)
-                    valid = _and(valid, mask_mod(b_idx, h_idx, rows_m, cols_m))
+                    valid = _and(valid, mask_mod(b_idx, h_idx, rows_m, cols_m)
+                                 if not num_aux else
+                                 mask_mod(b_idx, h_idx, rows_m, cols_m, aux))
                 return jnp.where(valid, s2, NEG_INF)
 
             # NOTE: an lax.cond diagonal-block fast path was tried here and
@@ -354,8 +364,9 @@ def flash_attention_fwd(
     sink_token_length: int = 0,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
-    score_mod=None,  # fn(scores, b, h, rows, cols) -> scores, natural scale
-    mask_mod=None,   # fn(b, h, rows, cols) -> bool keep
+    score_mod=None,  # fn(scores, b, h, rows, cols[, aux]) -> scores (natural)
+    mask_mod=None,   # fn(b, h, rows, cols[, aux]) -> bool keep
+    aux_tensors=None,  # tuple of arrays handed to score_mod/mask_mod
     interpret: bool = False,
     return_lse: bool = True,
     strict_causal: bool = False,  # col < row (striped ring attention)
@@ -479,6 +490,14 @@ def flash_attention_fwd(
             pl.BlockSpec((1, 1, bq, dv),
                          amap(lambda b_, h_, i, j: (b_, h_, i, 0))))
         inputs.append(qv)
+    aux_tensors = tuple(aux_tensors) if aux_tensors else ()
+    for ax in aux_tensors:
+        # Whole aux array resident in VMEM for every grid step (flex
+        # aux_tensors are small lookup tables — learnable biases etc.).
+        nd = ax.ndim
+        in_specs.append(pl.BlockSpec(
+            ax.shape, amap(lambda b_, h_, i, j, nd=nd: (0,) * nd)))
+        inputs.append(ax)
     in_specs += [q_spec, k_spec, v_spec]
     inputs += [q, k, v]
 
@@ -507,6 +526,7 @@ def flash_attention_fwd(
         mask_mod=mask_mod,
         out_dtype=jnp.bfloat16 if has_descale else q.dtype,
         band=band,
+        num_aux=len(aux_tensors),
     )
 
     out, lse = pl.pallas_call(

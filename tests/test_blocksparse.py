@@ -57,3 +57,58 @@ def test_blocksparse_empty_row():
         q, k, v, kv_num, kv_idx, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out[:, :128]), 0.0, atol=1e-6)
     assert bool(jnp.all(jnp.isneginf(lse[:, :128])))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_blocksparse_backward_matches_dense(causal):
+    """Blocksparse grads == dense-with-blockmask autodiff (reference
+    cute/block_sparsity.py:80 compute_dq_write_order determinism contract:
+    fixed-order accumulation here, no atomics)."""
+    from flash_attn_tpu.kernels.flash_blocksparse import (
+        flash_attention_blocksparse)
+
+    h, s, d = 2, 512, 64
+    bqk = 128
+    nt = s // bqk
+    keys = jax.random.split(jax.random.PRNGKey(42), 4)
+    q = jax.random.normal(keys[0], (h, s, d), jnp.float32)
+    k = jax.random.normal(keys[1], (h, s, d), jnp.float32)
+    v = jax.random.normal(keys[2], (h, s, d), jnp.float32)
+    g = jax.random.normal(keys[3], (h, s, d), jnp.float32)
+    rng = np.random.RandomState(0)
+    blockmask = jnp.asarray(rng.rand(nt, nt) < 0.5)
+    blockmask = blockmask.at[:, 0].set(True)  # no empty rows
+    kv_num, kv_idx = blockmask_to_kv_indices(blockmask)
+
+    def loss(q_, k_, v_):
+        out = flash_attention_blocksparse(
+            q_, k_, v_, kv_num, kv_idx, None, causal, bqk, bqk, True)
+        return (out * g).sum()
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def dense_loss(q_, k_, v_):
+        scale = 1.0 / np.sqrt(d)
+        S = jnp.einsum("hqd,hkd->hqk", q_, k_) * scale
+        rows = jnp.arange(s)[:, None]
+        cols = jnp.arange(s)[None, :]
+        tile_ok = blockmask[rows // bqk, cols // bqk]
+        keep = tile_ok
+        if causal:
+            keep = jnp.logical_and(keep, cols <= rows)
+        S = jnp.where(keep, S, -jnp.inf)
+        m = S.max(-1, keepdims=True)
+        m = jnp.where(jnp.isneginf(m), 0.0, m)
+        e = jnp.where(jnp.isneginf(S), 0.0, jnp.exp(S - m))
+        den = e.sum(-1, keepdims=True)
+        p = e / jnp.where(den == 0, 1.0, den)
+        out = jnp.einsum("hqk,hkd->hqd", p, v_)
+        return (out * g).sum()
+
+    rdq, rdk, rdv = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
+                               atol=2e-4, rtol=2e-4)
