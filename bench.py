@@ -10,6 +10,7 @@ target, so vs_baseline >= 1.0 means the north-star target is met.
 """
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -109,13 +110,24 @@ def bench_bwd(peak):
     v = jax.random.normal(jax.random.PRNGKey(3), (b, s, h, d), jnp.bfloat16)
 
     # Time the BACKWARD ONLY (the reference's out.backward() timing,
-    # hopper/benchmark_attn.py:386-398): vjp residuals precomputed, the
-    # pullback is the timed program.
-    fwd = lambda q, k, v: flash_attn_func(q, k, v, causal=True)
-    out, pullback = jax.vjp(fwd, q, k, v)
+    # hopper/benchmark_attn.py:386-398): forward residuals precomputed and
+    # passed as ARGUMENTS (a jitted vjp pullback closure would bake the
+    # 2 GB of residuals into the program as constants — the axon relay
+    # rejects the compile request). This is the same program the interface
+    # vjp runs: bwd dispatch + input-dtype casts.
+    from flash_attn_tpu.kernels.flash_bwd_fused import flash_attention_bwd_auto
+
+    out, lse = flash_attn_func(q, k, v, causal=True, return_attn_probs=True)
     do = jnp.ones_like(out)
-    pb = jax.jit(pullback)
-    t = bench_fn(lambda g_: pb(g_)[0], do)
+
+    def bwd_only(do, q, k, v, out, lse):
+        dq, dk, dv = flash_attention_bwd_auto(
+            do, q, k, v, out, lse, causal=True,
+            softmax_scale=1.0 / math.sqrt(d))
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+    pb = jax.jit(bwd_only)
+    t = bench_fn(lambda g_: pb(g_, q, k, v, out, lse)[0], do)
     # reference convention: bwd flops = 2.5x fwd (hopper/benchmark_attn.py)
     flops = 2.5 * 4.0 * b * h * s * s * d / 2
     return flops / t / 1e12, t

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from flash_attn_tpu.dispatch.config import normalize_window
 from flash_attn_tpu.kernels.flash_decode import flash_attention_decode
@@ -132,6 +133,25 @@ def flash_attn_with_kvcache(
         )
 
     sk_eff = cache_seqlens + s_new
+    oob_rows = None
+    if block_table is not None:
+        # Paged bounds guard (reference mha_fwd_kvcache raises when
+        # cache_seqlens + appended keys exceed block_table capacity —
+        # tests/test_flash_attn.py:2589, issue #2709). With concrete
+        # lengths (eager) raise exactly like the reference; under jit the
+        # lengths are traced, so overflowing rows are NaN-poisoned instead:
+        # out-of-capacity reads must be loud, never silently clamped.
+        capacity = block_table.shape[1] * k_cache.shape[2]
+        try:
+            need = np.asarray(sk_eff)
+            if (need > capacity).any():
+                raise ValueError(
+                    f"cache_seqlens + seqlen_new (max {int(need.max())}) "
+                    f"exceeds block_table capacity {capacity} "
+                    f"({block_table.shape[1]} pages x {k_cache.shape[2]} "
+                    "tokens); the paged kernel would index past the table")
+        except jax.errors.TracerArrayConversionError:
+            oob_rows = sk_eff > capacity
     if num_splits <= 0:
         # reference heuristic analogue (flash_api.cpp:281): fill the chip's
         # TensorCores. v5e has one core per chip so this resolves to 1; on
@@ -152,6 +172,9 @@ def flash_attn_with_kvcache(
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
         softcap=softcap, num_splits=num_splits, interpret=interpret,
     )
+    if oob_rows is not None:
+        out = jnp.where(oob_rows[:, None, None, None],
+                        jnp.asarray(float("nan"), out.dtype), out)
     if cache_layout == "bshd":
         k_cache = jnp.swapaxes(k_cache, 1, 2)
         v_cache = jnp.swapaxes(v_cache, 1, 2)

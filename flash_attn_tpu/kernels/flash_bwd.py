@@ -39,16 +39,27 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
                  window_left, window_right, attention_chunk,
                  sink_token_length, seqlen_k, shift, slope,
                  score_mod=None, mask_mod=None, b_idx=None, h_idx=None,
-                 aux=()):
+                 aux=(), masked=None):
     """Recompute the masked base-2 score block s2 (block_q, block_k) exactly
     as the forward kernel built it. Returns (s2, ds_chain) where
     ds_chain(ds) -> (ds_raw, daux): dL/d(raw scaled scores) plus this tile's
     aux-tensor cotangent contributions (daux is () unless aux given) —
     identity unless softcap or a score_mod applies (both pointwise maps
-    whose vjp is traced inline)."""
-    s = jax.lax.dot_general(
+    whose vjp is traced inline).
+
+    ``masked``: None -> apply whatever mask the static flags require (the
+    default); False -> the caller statically guarantees every element of
+    this tile is valid, skip all mask VPU work (interior-tile fast path,
+    the reference tile-scheduler's "no-mask specialization"); True ->
+    force the mask block."""
+    plain = softcap == 0.0 and score_mod is None
+    s_raw = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
+    # Fast path: fold softmax scale and the exp2 conversion into ONE
+    # multiply (VPU passes on the (bq,bk) tile are the causal-kernel
+    # bottleneck; every pass counts).
+    s = None if plain else s_raw * scale
 
     # Vector iotas ((bq,1) rows / (1,bk) cols): each mask term is ONE
     # broadcast compare on the (bq,bk) tile instead of the round-1
@@ -79,7 +90,7 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
         else:
             s, mod_vjp = jax.vjp(
                 lambda x: score_mod(x, b_idx, h_idx, rows_m, cols_m), s)
-    s2 = s * LOG2E
+    s2 = s_raw * (scale * LOG2E) if plain else s * LOG2E
     if slope is not None:
         if causal:
             bias = jnp.broadcast_to(
@@ -93,7 +104,7 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
         causal or window_right is not None or window_left is not None
         or attention_chunk > 0 or (seqlen_k % block_k != 0)
         or mask_mod is not None
-    )
+    ) if masked is None else masked
     if needs_mask:
         valid = None
 

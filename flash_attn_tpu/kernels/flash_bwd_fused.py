@@ -56,7 +56,8 @@ _ACC_VMEM_BUDGET = 80 * 1024 * 1024
 
 
 def fits_vmem(seqlen_k: int, d: int, dv: int, block_q: int) -> bool:
-    acc = 4 * (seqlen_k * (d + dv) + block_q * d)
+    # fp32 accumulators + (bshd path) low-precision cast staging buffers.
+    acc = 4 * (seqlen_k * (d + dv) + block_q * d) + 2 * seqlen_k * (d + dv)
     return acc <= _ACC_VMEM_BUDGET
 
 
@@ -78,7 +79,10 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
     # revisited-accumulator pattern) and writes back once at the end — no
     # manual DMA, so arbitrary aux shapes stay alignment-safe.
     daux_refs = rest[:num_aux]
-    (dq_acc, dk_all, dv_all, copy_sems) = rest[num_aux:]
+    if bshd:
+        (dq_acc, dk_all, dv_all, dk_st, dv_st, copy_sems) = rest[num_aux:]
+    else:
+        (dq_acc, dk_all, dv_all, copy_sems) = rest[num_aux:]
 
     b_idx = pl.program_id(0)
     hk_idx = pl.program_id(1)
@@ -145,68 +149,92 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         k = jnp.where(cv < seqlen_k, k, 0)
         v = jnp.where(cv < seqlen_k, v, 0)
 
-    s2, ds_chain = _scores_log2(
-        q, k, i, n, block_q, block_k, scale=scale, softcap=softcap,
-        causal=causal, window_left=window_left, window_right=window_right,
-        attention_chunk=attention_chunk, sink_token_length=sink_token_length,
-        seqlen_k=seqlen_k, shift=shift, slope=slope,
-        score_mod=score_mod, mask_mod=mask_mod, b_idx=b_idx, h_idx=h_idx,
-        aux=aux,
-    )
-    lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
-    p = jnp.exp2(s2 - lse2_safe)          # (bq, bk); masked -> 0
-    if row_pad:
-        p = jnp.where(rv < seqlen_q, p, 0)
-    # dP = dO V^T
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if dropout_p > 0.0:
-        drows = i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        dcols = n * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_idx,
-                            drows, dcols, dropout_p)
-        inv_keep = 1.0 / (1.0 - dropout_p)
-        p_v = jnp.where(keep, p, 0.0) * inv_keep
-        dp_d = jnp.where(keep, dp, 0.0) * inv_keep
-    else:
-        p_v = p
-        dp_d = dp
-    ds, daux = ds_chain(p * (dp_d - delta))
-    if num_aux:
-        # Deterministic aux-cotangent accumulation: the vjp emits a full
-        # aux-shaped contribution per tile (zeros off this tile's indices);
-        # summed across the whole sequential grid in fp32 (the TPU answer
-        # to the reference's atomic buffer-grad accumulation in flex
-        # attention — fixed order, no atomics).
-        for ref, da in zip(daux_refs, daux):
-            ref[...] += da.astype(jnp.float32)
-    if row_pad:
-        ds = jnp.where(rv < seqlen_q, ds, 0)
-    p_lo = p_v.astype(do.dtype)
-    ds_lo = ds.astype(q.dtype)
+    def tile_body(masked):
+        s2, ds_chain = _scores_log2(
+            q, k, i, n, block_q, block_k, scale=scale, softcap=softcap,
+            causal=causal, window_left=window_left,
+            window_right=window_right, attention_chunk=attention_chunk,
+            sink_token_length=sink_token_length,
+            seqlen_k=seqlen_k, shift=shift, slope=slope,
+            score_mod=score_mod, mask_mod=mask_mod, b_idx=b_idx,
+            h_idx=h_idx, aux=aux, masked=masked,
+        )
+        lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
+        p = jnp.exp2(s2 - lse2_safe)          # (bq, bk); masked -> 0
+        if row_pad:
+            p = jnp.where(rv < seqlen_q, p, 0)
+        # dP = dO V^T
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_p > 0.0:
+            drows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            dcols = n * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_idx,
+                                drows, dcols, dropout_p)
+            inv_keep = 1.0 / (1.0 - dropout_p)
+            p_v = jnp.where(keep, p, 0.0) * inv_keep
+            dp_d = jnp.where(keep, dp, 0.0) * inv_keep
+        else:
+            p_v = p
+            dp_d = dp
+        ds, daux = ds_chain(p * (dp_d - delta))
+        if num_aux:
+            # Deterministic aux-cotangent accumulation: the vjp emits a
+            # full aux-shaped contribution per tile (zeros off this tile's
+            # indices); summed across the whole sequential grid in fp32
+            # (the TPU answer to the reference's atomic buffer-grad
+            # accumulation in flex attention — fixed order, no atomics).
+            for ref, da in zip(daux_refs, daux):
+                ref[...] += da.astype(jnp.float32)
+        if row_pad:
+            ds = jnp.where(rv < seqlen_q, ds, 0)
+        p_lo = p_v.astype(do.dtype)
+        ds_lo = ds.astype(q.dtype)
 
-    # dQ += dS K * scale  (row accumulator)
-    dq_acc[...] += jax.lax.dot_general(
-        ds_lo, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # dV[n] += dO^T P ; dK[n] += Q^T dS — accumulators are TRANSPOSED
-    # (d, seqlen_k): the lane axis is the 128-aligned KV-sequence axis, so
-    # both the in-kernel column slices and the segment-end DMA stay
-    # lane-aligned for any head_dim (d=64 blocks are not sliceable on the
-    # lane axis; Mosaic requires 128-multiples there).
-    off = n * block_k
-    dv_all[:, pl.ds(off, block_k)] += jax.lax.dot_general(
-        do, p_lo, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dk_all[:, pl.ds(off, block_k)] += jax.lax.dot_general(
-        q, ds_lo, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        # dQ += dS K * scale  (row accumulator)
+        dq_acc[...] += jax.lax.dot_general(
+            ds_lo, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dV[n] += P^T dO ; dK[n] += dS^T Q.
+        # bshd path: accumulators are seq-major (seqlen_k, d) — d%128==0
+        # keeps the lane axis aligned, block_k row offsets are 8-multiples,
+        # and the segment flush DMAs straight into the public
+        # (b, sk, h_k*d) view (no output transpose pass).
+        # bhsd fallback: TRANSPOSED (d, seqlen_k) accumulators — for d<128
+        # the lane axis must be the 128-aligned KV-sequence axis (d=64
+        # blocks are not sliceable on lanes).
+        off = n * block_k
+        if bshd:
+            dv_all[pl.ds(off, block_k), :] += jax.lax.dot_general(
+                p_lo, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_all[pl.ds(off, block_k), :] += jax.lax.dot_general(
+                ds_lo, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dv_all[:, pl.ds(off, block_k)] += jax.lax.dot_general(
+                do, p_lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_all[:, pl.ds(off, block_k)] += jax.lax.dot_general(
+                q, ds_lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    # NOTE an interior-tile fast path (pl.when(is_full) -> mask-free
+    # branch, pl.when(~is_full) -> masked branch) was tried here and
+    # REGRESSED 86.5 -> 72.7 TF/s on v5e, the same pathology as the
+    # round-1 forward lax.cond attempt (85 -> 54): Mosaic loses its
+    # software-pipelined schedule across scalar branches, which costs more
+    # than the ~2 mask VPU passes save. Branchless masked compute wins.
+    tile_body(None)
 
     @pl.when(t == t_last)
     def _row_flush():
@@ -217,12 +245,27 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
 
     @pl.when(seg_last)
     def _seg_flush():
-        # dK picks up the softmax scale once, at flush.
-        dk_all[...] = dk_all[...] * scale
-        cp_k = pltpu.make_async_copy(
-            dk_all, dk_hbm.at[b_idx, hk_idx], copy_sems.at[0])
-        cp_v = pltpu.make_async_copy(
-            dv_all, dv_hbm.at[b_idx, hk_idx], copy_sems.at[1])
+        if bshd:
+            # Cast to the public dtype in VMEM and DMA straight into the
+            # (b, sk, h_k*d) output view: no f32 materialization, no
+            # transpose pass. dK picks up the softmax scale here.
+            dk_st[...] = (dk_all[...] * scale).astype(dk_st.dtype)
+            dv_st[...] = dv_all[...].astype(dv_st.dtype)
+            d_ = dk_st.shape[-1]
+            dv_d = dv_st.shape[-1]
+            cp_k = pltpu.make_async_copy(
+                dk_st, dk_hbm.at[b_idx, :, pl.ds(hk_idx * d_, d_)],
+                copy_sems.at[0])
+            cp_v = pltpu.make_async_copy(
+                dv_st, dv_hbm.at[b_idx, :, pl.ds(hk_idx * dv_d, dv_d)],
+                copy_sems.at[1])
+        else:
+            # dK picks up the softmax scale once, at flush.
+            dk_all[...] = dk_all[...] * scale
+            cp_k = pltpu.make_async_copy(
+                dk_all, dk_hbm.at[b_idx, hk_idx], copy_sems.at[0])
+            cp_v = pltpu.make_async_copy(
+                dv_all, dv_hbm.at[b_idx, hk_idx], copy_sems.at[1])
         cp_k.start()
         cp_v.start()
         cp_k.wait()
@@ -268,7 +311,9 @@ def flash_attention_bwd_fused(
     """Fused-backward twin of flash_bwd.flash_attention_bwd.
 
     Returns (dq, dk, dv[, daux]): dq (b, sq, h, d) bshd in q.dtype,
-    dk (b, sk, h_k, d) / dv (b, sk, h_k, dv) bshd in fp32 (GQA-reduced).
+    dk (b, sk, h_k, d) / dv (b, sk, h_k, dv) bshd, GQA-reduced in fp32
+    VMEM accumulators (returned in k/v dtype on the d%128==0 fast path,
+    fp32 on the fallback — callers cast to input dtype either way).
     With aux_tensors, appends a tuple of fp32 aux-shaped cotangents
     (deterministic fixed-order accumulation).
     """
@@ -395,11 +440,40 @@ def flash_attention_bwd_fused(
         dq_spec = pl.BlockSpec(
             (1, bq, d), amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g)))
         dq_shape = jax.ShapeDtypeStruct((b, sq, h * d), q.dtype)
+        dkv_shapes = [
+            jax.ShapeDtypeStruct((b, sk_pad, h_k * d), k.dtype),
+            jax.ShapeDtypeStruct((b, sk_pad, h_k * dv_dim), v.dtype),
+        ]
+        acc_scratch = [
+            pltpu.VMEM((bq, d), jnp.float32),           # dq row accumulator
+            pltpu.VMEM((sk_pad, d), jnp.float32),       # dk full-KV seq-major
+            pltpu.VMEM((sk_pad, dv_dim), jnp.float32),  # dv full-KV seq-major
+            pltpu.VMEM((sk_pad, d), k.dtype),           # dk cast staging
+            pltpu.VMEM((sk_pad, dv_dim), v.dtype),      # dv cast staging
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     else:
         dq_spec = pl.BlockSpec(
             (1, 1, bq, d),
             amap(lambda b_, hk, g, i, n: (b_, hk * group + g, i, 0)))
         dq_shape = jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)
+        dkv_shapes = [
+            jax.ShapeDtypeStruct((b, h_k, d, sk_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_k, dv_dim, sk_pad), jnp.float32),
+        ]
+        acc_scratch = [
+            pltpu.VMEM((bq, d), jnp.float32),          # dq row accumulator
+            pltpu.VMEM((d, sk_pad), jnp.float32),      # dk full-KV (d-major)
+            pltpu.VMEM((dv_dim, sk_pad), jnp.float32),  # dv full-KV (d-major)
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+    from flash_attn_tpu.utils.fa_logging import log_kernel_launch
+    log_kernel_launch(
+        "flash_bwd_fused", grid=grid,
+        blocks={"q": (bq, d), "kv": (bk, d)},
+        causal=causal, bshd=bshd, seqlen_q=sq, seqlen_k=sk,
+        acc_vmem_bytes=4 * sk_pad * (d + dv_dim), dtype=q.dtype)
 
     dq, dk, dv, *daux = pl.pallas_call(
         kernel,
@@ -410,17 +484,8 @@ def flash_attention_bwd_fused(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ] + daux_out_specs,
-        out_shape=[
-            dq_shape,
-            jax.ShapeDtypeStruct((b, h_k, d, sk_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_k, dv_dim, sk_pad), jnp.float32),
-        ] + daux_out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),          # dq row accumulator
-            pltpu.VMEM((d, sk_pad), jnp.float32),      # dk full-KV (d-major)
-            pltpu.VMEM((dv_dim, sk_pad), jnp.float32),  # dv full-KV (d-major)
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=[dq_shape] + dkv_shapes + daux_out_shapes,
+        scratch_shapes=acc_scratch,
         compiler_params=pltpu.CompilerParams(
             # The daux revisited accumulators sum across (b, h_k) too, so
             # every grid dim must stay sequential when aux grads are live.
@@ -437,12 +502,16 @@ def flash_attention_bwd_fused(
         interpret=interpret,
     )(*inputs)
 
-    dq = (dq.reshape(b, sq, h, d) if bshd
-          else jnp.swapaxes(dq, 1, 2))
-    # (b, h_k, d, sk_pad) -> bshd (b, sk, h_k, d); XLA fuses the transpose
-    # with the caller's dtype cast into one copy pass.
-    dk = jnp.transpose(dk, (0, 3, 1, 2))
-    dv = jnp.transpose(dv, (0, 3, 1, 2))
+    if bshd:
+        dq = dq.reshape(b, sq, h, d)
+        dk = dk.reshape(b, sk_pad, h_k, d)
+        dv = dv.reshape(b, sk_pad, h_k, dv_dim)
+    else:
+        dq = jnp.swapaxes(dq, 1, 2)
+        # (b, h_k, d, sk_pad) -> bshd (b, sk, h_k, d); XLA fuses the
+        # transpose with the caller's dtype cast into one copy pass.
+        dk = jnp.transpose(dk, (0, 3, 1, 2))
+        dv = jnp.transpose(dv, (0, 3, 1, 2))
     if sk_pad != sk:
         dk = dk[:, :sk]
         dv = dv[:, :sk]

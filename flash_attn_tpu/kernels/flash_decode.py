@@ -461,6 +461,12 @@ def flash_attention_decode(
         has_descale=has_descale,
     )
 
+    from flash_attn_tpu.utils.fa_logging import log_kernel_launch
+    log_kernel_launch(
+        "flash_decode", blocks={"kv": (bk,)},
+        num_splits=num_splits, paged=paged, rows_pad=rows_pad,
+        heads_kv=h_k, max_tiles=max_tiles)
+
     outp, lsep = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

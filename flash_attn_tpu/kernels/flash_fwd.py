@@ -529,6 +529,12 @@ def flash_attention_fwd(
         num_aux=len(aux_tensors),
     )
 
+    from flash_attn_tpu.utils.fa_logging import log_kernel_launch
+    log_kernel_launch(
+        "flash_fwd", grid=grid,
+        blocks={"q": (bq, d), "kv": (bk, d)},
+        causal=causal, seqlen_q=sq, seqlen_k=sk, heads=h, dtype=q.dtype)
+
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,

@@ -310,6 +310,11 @@ def flash_attention_varlen_fwd(
         out_dtype=q.dtype,
     )
 
+    from flash_attn_tpu.utils.fa_logging import log_kernel_launch
+    log_kernel_launch(
+        "flash_varlen_fwd", blocks={"q": (bq, d), "kv": (bk, d)},
+        total_q=total_q, heads=h, causal=causal)
+
     out_t, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

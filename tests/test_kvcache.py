@@ -286,3 +286,50 @@ def test_kvcache_paged_long_context_chunking():
     ref_lp = _ref_decode(q, k_lin, v_lin, cache_seqlens, True, upcast=False)
     check_against_ref(out, ref, ref_lp, msg="long-ctx paged")
     assert lse.shape == (b, h, 1)
+
+
+def test_kvcache_paged_block_table_bounds_guard():
+    """Out-of-capacity paged lookups must be loud, never silently clamped
+    (reference tests/test_flash_attn.py:2589, issue #2709: mha_fwd_kvcache
+    raises when cache_seqlens + appended keys exceed block_table capacity).
+    Eager: raises like the reference. Under jit (traced lengths): the
+    overflowing batch rows come back NaN-poisoned."""
+    import pytest
+
+    b, h, d = 1, 1, 64
+    page_size = 256
+    max_pages_per_seq = 1
+    capacity = max_pages_per_seq * page_size  # 256 tokens
+    num_pages = 4
+    q = _mk(jax.random.PRNGKey(0), (b, 1, h, d))
+    kp = _mk(jax.random.PRNGKey(1), (num_pages, h, page_size, d))
+    vp = _mk(jax.random.PRNGKey(2), (num_pages, h, page_size, d))
+    table = jnp.zeros((b, max_pages_per_seq), jnp.int32)
+
+    # eager overflow -> ValueError (capacity exceeded by cache_seqlens)
+    with pytest.raises(ValueError, match="block_table capacity"):
+        flash_attn_with_kvcache(
+            q, kp, vp, cache_seqlens=jnp.array([capacity + 1], jnp.int32),
+            block_table=table, causal=True)
+
+    # eager overflow via appended keys (cache full + 1 new key)
+    k_new = _mk(jax.random.PRNGKey(3), (b, 1, h, d))
+    with pytest.raises(ValueError, match="block_table capacity"):
+        flash_attn_with_kvcache(
+            q, kp, vp, k=k_new, v=k_new,
+            cache_seqlens=jnp.array([capacity], jnp.int32),
+            block_table=table, causal=True)
+
+    # at exactly capacity: fine, finite
+    out = flash_attn_with_kvcache(
+        q, kp, vp, cache_seqlens=jnp.array([capacity], jnp.int32),
+        block_table=table, causal=True)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+    # jit (traced cache_seqlens): overflow rows NaN-poisoned, valid rows ok
+    fn = jax.jit(lambda sl: flash_attn_with_kvcache(
+        q, kp, vp, cache_seqlens=sl, block_table=table, causal=True))
+    bad = fn(jnp.array([capacity + 1], jnp.int32))
+    assert bool(jnp.isnan(bad.astype(jnp.float32)).all())
+    good = fn(jnp.array([capacity - 5], jnp.int32))
+    assert bool(jnp.isfinite(good.astype(jnp.float32)).all())
