@@ -8,6 +8,16 @@ cannot). Branching the mask away regressed twice (Mosaic loses its software
 pipeline across scalar branches; see flash_fwd.py / flash_bwd_fused.py
 NOTEs), so the remaining lever is making the mask itself one op.
 
+MEASURED RESULT (v5e, 2026-08-17): the one-add scheme is NOT a win — fwd
+causal 94.5 -> 93-96 (noise), fused bwd causal 86.6 -> 83.1. The compare+
+select it replaces runs on register-resident iotas (near-free on the VPU),
+while the mask-slice add costs a genuine VMEM->vreg load pass per tile
+(bq*bk*4 bytes). A no-mask perf probe bounds the entire causal mask cost at
+~4-6% (96 -> 100.2 TF/s), so no mask scheme can buy more than that.
+``ENABLE`` below therefore defaults to False; the machinery is kept for
+hardware where VMEM loads are cheaper relative to VPU ops, and as the
+measured record of why the "obvious" optimization is off.
+
 Scheme: every right-edge mask ``valid = col <= row + r_tile`` with
 ``r_tile = i*bq + (shift + wr) - j*bk`` is an additive bias that is a
 *column-shifted slice of one static band matrix*. Precompute
@@ -39,6 +49,10 @@ import jax.numpy as jnp
 
 NEG_INF = float("-inf")
 
+# Off by default: measured slower than the register-iota compare+select on
+# v5e (see module docstring). Flip for A/B probes on other TPU generations.
+ENABLE = False
+
 
 @dataclass(frozen=True)
 class BandMaskCfg:
@@ -47,6 +61,7 @@ class BandMaskCfg:
     rho: int       # edge mod 128
     block_q: int
     block_k: int
+    max_o: int     # largest in-band slice offset (128-multiple)
 
     @property
     def c0(self) -> int:
@@ -54,7 +69,7 @@ class BandMaskCfg:
 
     @property
     def width(self) -> int:
-        return self.block_q + 2 * self.block_k
+        return self.max_o + self.block_k
 
     def build(self) -> jax.Array:
         """The (bq, bq + 2*bk) f32 additive mask, 0 in-band / -inf out."""
@@ -66,7 +81,7 @@ class BandMaskCfg:
     def offset(self, i, j):
         """Traced 128-aligned lane offset for tile (i, j)."""
         r_tile = i * self.block_q + self.edge - j * self.block_k
-        return jnp.clip(self.c0 - r_tile, 0, self.block_q + self.block_k)
+        return jnp.clip(self.c0 - r_tile, 0, self.max_o)
 
 
 def band_mask_config(
@@ -95,6 +110,8 @@ def band_mask_config(
     the all-invalid end of M only if they stay within the clip range, so
     the fast path requires the packed band.
     """
+    if not ENABLE:
+        return None
     wr = 0 if causal else window_right
     if wr is None:
         return None  # no right edge -> nothing to accelerate
@@ -107,19 +124,22 @@ def band_mask_config(
     if j_min is None or j_max is None:
         return None
     edge = shift + wr
-    cfg = BandMaskCfg(edge=edge, rho=edge % 128,
-                      block_q=block_q, block_k=block_k)
-    # Reject if any in-band tile's offset would be clipped into the wrong
-    # mask (only possible for clamped-empty rows far past the diagonal).
-    lo, hi = 0, cfg.block_q + cfg.block_k
+    rho = edge % 128
+    c0 = block_k + rho
+    # The mask matrix only needs to span the in-band offset range: o is
+    # linear-increasing in j, so per-row extremes sit at j_min/j_max.
+    # Fully-valid far-left tiles clip to the all-zero head (o=0, correct);
+    # max_o covers every partially/fully-masked tile exactly. Rows whose
+    # natural band was empty (clamped to [0,0] upstream) inflate max_o to
+    # keep their all--inf slice exact; cap the width so a degenerate band
+    # cannot blow VMEM.
+    max_o = 0
     for i, (a, b) in enumerate(zip(j_min, j_max)):
         for j in (a, b):
-            r_tile = i * block_q + edge - j * block_k
-            o = cfg.c0 - r_tile
-            if o > hi:
-                # fully-invalid tile: clipped slice must still be all -inf;
-                # it is not, so fall back.
-                return None
-            # o < lo (fully-valid far-left tile) clips to the all-zero
-            # head of M, which is correct.
-    return cfg
+            o = c0 - (i * block_q + edge - j * block_k)
+            max_o = max(max_o, o)
+    max_o = -((-max_o) // 128) * 128  # round up to a lane multiple
+    if max_o + block_k > 2 * (block_q + block_k):
+        return None
+    return BandMaskCfg(edge=edge, rho=rho, block_q=block_q,
+                       block_k=block_k, max_o=max_o)

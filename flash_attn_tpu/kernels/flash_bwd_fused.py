@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.band import PackedBand, kv_band_static
+from flash_attn_tpu.dispatch.bandmask import BandMaskCfg, band_mask_config
 from flash_attn_tpu.dispatch.config import get_bwd_config, normalize_window
 from flash_attn_tpu.kernels.dropout_rng import dropout_keep
 from flash_attn_tpu.kernels.flash_bwd import _scores_log2, _next_pow2
@@ -67,10 +68,11 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
                       attention_chunk, sink_token_length, has_alibi,
                       dropout_p, num_heads, score_mod, mask_mod,
                       dq_dtype, dk_dtype, dv_dtype, num_aux, num_batch,
-                      num_kv_heads, bshd):
+                      num_kv_heads, bshd, bmask: Optional[BandMaskCfg] = None):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
     slopes_ref = refs.pop(0) if has_alibi else None
+    bmask_ref = refs.pop(0) if bmask is not None else None
     aux = tuple(refs.pop(0)[...] for _ in range(num_aux))
     (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
      dq_ref, dk_hbm, dv_hbm, *rest) = refs
@@ -149,6 +151,14 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         k = jnp.where(cv < seqlen_k, k, 0)
         v = jnp.where(cv < seqlen_k, v, 0)
 
+    if bmask is not None:
+        # One-pass additive band mask (dispatch/bandmask.py): slice of the
+        # VMEM-resident {0,-inf} matrix at a 128-aligned dynamic offset.
+        o = pl.multiple_of(bmask.offset(i, n), 128)
+        mask_bias = bmask_ref[:, pl.ds(o, block_k)]
+    else:
+        mask_bias = None
+
     def tile_body(masked):
         s2, ds_chain = _scores_log2(
             q, k, i, n, block_q, block_k, scale=scale, softcap=softcap,
@@ -157,7 +167,7 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
             sink_token_length=sink_token_length,
             seqlen_k=seqlen_k, shift=shift, slope=slope,
             score_mod=score_mod, mask_mod=mask_mod, b_idx=b_idx,
-            h_idx=h_idx, aux=aux, masked=masked,
+            h_idx=h_idx, aux=aux, masked=masked, mask_bias=mask_bias,
         )
         lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
         p = jnp.exp2(s2 - lse2_safe)          # (bq, bk); masked -> 0
@@ -342,6 +352,11 @@ def flash_attention_bwd_fused(
         sink_token_length, attention_chunk,
     )
     band = PackedBand(jmin_s, jmax_s)
+    bmask = band_mask_config(
+        causal=causal, window_left=window_left, window_right=window_right,
+        attention_chunk=attention_chunk, mask_mod=mask_mod, shift=shift,
+        seqlen_k=sk, block_q=bq, block_k=bk, j_min=jmin_s, j_max=jmax_s,
+    )
 
     # Preprocess: delta = rowsum(dO * O) (fp32) — the reference's
     # flash_bwd_preprocess_kernel as a fused XLA reduction. (b, sq, h) ->
@@ -369,6 +384,10 @@ def flash_attention_bwd_fused(
             (b, h), amap(lambda b_, hk, g, i, n: (0, 0)),
             memory_space=pltpu.SMEM))
         inputs.append(alibi_slopes.astype(jnp.float32))
+    if bmask is not None:
+        in_specs.append(pl.BlockSpec(
+            (bq, bmask.width), amap(lambda b_, hk, g, i, n: (0, 0))))
+        inputs.append(bmask.build())
     aux_tensors = tuple(aux_tensors) if aux_tensors else ()
     for ax in aux_tensors:
         nd = ax.ndim
@@ -425,7 +444,7 @@ def flash_attention_bwd_fused(
         num_heads=h, score_mod=score_mod, mask_mod=mask_mod,
         dq_dtype=q.dtype, dk_dtype=jnp.float32, dv_dtype=jnp.float32,
         num_aux=len(aux_tensors), num_batch=b, num_kv_heads=h_k,
-        bshd=bshd,
+        bshd=bshd, bmask=bmask,
     )
 
     daux_out_specs = [
@@ -492,6 +511,9 @@ def flash_attention_bwd_fused(
             dimension_semantics=(
                 ("arbitrary",) * 4 if aux_tensors else
                 ("parallel", "parallel", "arbitrary", "arbitrary")),
+            # full-KV fp32 accumulators + the resident band mask exceed the
+            # default 16 MiB scoped-VMEM limit at long seqlens (v5e ~128M)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * b * h * sq * sk * d // (2 if causal else 1),
