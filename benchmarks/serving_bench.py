@@ -40,7 +40,8 @@ def config(size: str, max_decode: int) -> GPTConfig:
 
 def main():
     size = sys.argv[1] if len(sys.argv) > 1 else "tiny"
-    b, prompt_len, gen_len = 8, 512, 64
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    prompt_len, gen_len = 512, 64
     cfg = config(size, prompt_len + gen_len + 8)
     model = GPTLMHeadModel(cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (b, prompt_len), 0,

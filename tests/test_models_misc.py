@@ -57,3 +57,128 @@ def test_vit_forward():
     out = model.apply({"params": params}, imgs)
     assert out.shape == (2, 10)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_bert_mlm_logits_match_hf():
+    """Logit parity vs HuggingFace BertForMaskedLM (reference
+    tests/models/test_bert.py) — padded AND unpadded paths, plus the
+    dense_seq_output masked-position gather."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertForMaskedLM as HFBertForMaskedLM
+
+    from flash_attn_tpu.models.bert import (
+        bert_config_from_hf,
+        remap_state_dict_hf_bert,
+    )
+
+    hf_cfg = HFBertConfig(
+        vocab_size=97, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=160,
+        max_position_embeddings=64, type_vocab_size=2,
+    )
+    torch.manual_seed(0)
+    hf = HFBertForMaskedLM(hf_cfg).eval()
+
+    b, s = 2, 40
+    ids_t = torch.randint(0, 97, (b, s))
+    lengths = [40, 23]
+    mask_t = torch.zeros((b, s), dtype=torch.long)
+    for i, L in enumerate(lengths):
+        mask_t[i, :L] = 1
+    with torch.no_grad():
+        hf_logits = hf(ids_t, attention_mask=mask_t).logits.float().numpy()
+
+    cfg = bert_config_from_hf(hf_cfg)
+    params = remap_state_dict_hf_bert(hf.state_dict(), cfg)
+    ids = jnp.asarray(ids_t.numpy())
+    mask = jnp.asarray(mask_t.numpy()).astype(bool)
+
+    model = BertForMaskedLM(cfg)
+    logits = model.apply({"params": params}, ids, mask)
+    for i, L in enumerate(lengths):
+        np.testing.assert_allclose(np.asarray(logits)[i, :L],
+                                   hf_logits[i, :L], atol=2e-4, rtol=2e-3)
+
+    # unpadded/varlen path: same logits on valid tokens
+    import dataclasses
+    cfg_un = dataclasses.replace(cfg, use_unpadded=True)
+    logits_un = BertForMaskedLM(cfg_un).apply({"params": params}, ids, mask)
+    for i, L in enumerate(lengths):
+        np.testing.assert_allclose(np.asarray(logits_un)[i, :L],
+                                   hf_logits[i, :L], atol=2e-4, rtol=2e-3)
+
+    # dense_seq_output: gathered masked positions match the full logits
+    pos = jnp.asarray([[1, 5, 7], [0, 2, 22]], jnp.int32)
+    sub = model.apply({"params": params}, ids, mask, masked_positions=pos)
+    np.testing.assert_allclose(
+        np.asarray(sub),
+        np.take_along_axis(np.asarray(logits), np.asarray(pos)[:, :, None],
+                           axis=1),
+        atol=1e-5, rtol=1e-5)
+
+
+def test_bert_pretraining_heads_match_hf():
+    """BertForPreTraining: MLM + NSP + pooler parity vs HF."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertForPreTraining as HFBertForPreTraining
+
+    from flash_attn_tpu.models.bert import (
+        BertForPreTraining,
+        bert_config_from_hf,
+        remap_state_dict_hf_bert,
+    )
+
+    hf_cfg = HFBertConfig(
+        vocab_size=97, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=160,
+        max_position_embeddings=64, type_vocab_size=2,
+    )
+    torch.manual_seed(1)
+    hf = HFBertForPreTraining(hf_cfg).eval()
+
+    ids_t = torch.randint(0, 97, (2, 24))
+    with torch.no_grad():
+        out = hf(ids_t)
+    cfg = bert_config_from_hf(hf_cfg)
+    params = remap_state_dict_hf_bert(hf.state_dict(), cfg)
+    mlm, nsp = BertForPreTraining(cfg).apply(
+        {"params": params}, jnp.asarray(ids_t.numpy()))
+    np.testing.assert_allclose(np.asarray(mlm),
+                               out.prediction_logits.float().numpy(),
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(nsp),
+                               out.seq_relationship_logits.float().numpy(),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_vit_logits_match_hf():
+    """ViT logit parity vs HuggingFace ViTForImageClassification."""
+    torch = pytest.importorskip("torch")
+    from transformers import ViTConfig as HFViTConfig
+    from transformers import ViTForImageClassification
+
+    from flash_attn_tpu.models.vit import (
+        remap_state_dict_hf_vit,
+        vit_config_from_hf,
+    )
+
+    hf_cfg = HFViTConfig(
+        image_size=32, patch_size=8, num_channels=3, hidden_size=64,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=128,
+        num_labels=10,
+    )
+    torch.manual_seed(0)
+    hf = ViTForImageClassification(hf_cfg).eval()
+
+    imgs_t = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        hf_logits = hf(imgs_t).logits.float().numpy()
+
+    cfg = vit_config_from_hf(hf_cfg, num_classes=10)
+    params = remap_state_dict_hf_vit(hf.state_dict(), cfg)
+    imgs = jnp.asarray(imgs_t.numpy().transpose(0, 2, 3, 1))  # NCHW->NHWC
+    logits = VisionTransformer(cfg).apply({"params": params}, imgs)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=5e-4, rtol=5e-3)
