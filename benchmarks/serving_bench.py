@@ -9,6 +9,7 @@ model (sized via args) on the current backend:
 Run: PYTHONPATH=. python benchmarks/serving_bench.py [tiny|1b]
 """
 
+import functools
 import statistics
 import sys
 import time
@@ -53,11 +54,13 @@ def main():
 
     @jax.jit
     def prefill(params, ids):
+        last = jnp.full((ids.shape[0],), ids.shape[1] - 1, jnp.int32)
         logits, state = model.apply(
-            {"params": params}, ids, mode="prefill", mutable=["cache"])
+            {"params": params}, ids, mode="prefill", mutable=["cache"],
+            logits_positions=last)
         return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), state["cache"]
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, cache, tok):
         logits, state = model.apply(
             {"params": params, "cache": cache}, tok[:, None], mode="decode",

@@ -50,14 +50,17 @@ def kv_cache_update(
             block_table.astype(jnp.int32), pos // page_size, axis=1
         )  # (b, s_new)
         inpage = pos % page_size
-        k_cache = k_cache.at[page, :, inpage].set(k_src)
-        v_cache = v_cache.at[page, :, inpage].set(v_src)
+        # unique_indices skips XLA's scatter dedup machinery (every
+        # (page, inpage) target is distinct by construction); bounds stay
+        # checked — the capacity guard upstream handles misuse loudly.
+        k_cache = k_cache.at[page, :, inpage].set(k_src, unique_indices=True)
+        v_cache = v_cache.at[page, :, inpage].set(v_src, unique_indices=True)
     else:
         bidx = (jnp.arange(b, dtype=jnp.int32) if cache_batch_idx is None
                 else cache_batch_idx.astype(jnp.int32))
         rows = jnp.broadcast_to(bidx[:, None], pos.shape)
-        k_cache = k_cache.at[rows, :, pos].set(k_src)
-        v_cache = v_cache.at[rows, :, pos].set(v_src)
+        k_cache = k_cache.at[rows, :, pos].set(k_src, unique_indices=True)
+        v_cache = v_cache.at[rows, :, pos].set(v_src, unique_indices=True)
     return k_cache, v_cache
 
 
@@ -111,6 +114,7 @@ def flash_attn_with_kvcache(
     window_size = normalize_window(tuple(window_size))
 
     s_new = 0
+    k_new = v_new = None
     if k is not None:
         s_new = k.shape[1]
         if rotary_cos is not None:
@@ -119,10 +123,10 @@ def flash_attn_with_kvcache(
                 k, rotary_cos, rotary_sin, interleaved=rotary_interleaved,
                 seqlen_offsets=pos_k,
             )
-        k_cache, v_cache = kv_cache_update(
-            k_cache, v_cache, k, v, cache_seqlens,
-            block_table=block_table, cache_batch_idx=cache_batch_idx,
-        )
+        # append happens in flash_attention_decode via kv_cache_update
+        # (unique-indices XLA scatter; an in-kernel DMA append was tried
+        # and removed — see the note in kernels/flash_decode.py).
+        k_new, v_new = k, v
     if rotary_cos is not None:
         # q tokens sit at positions old_len-leftpad .. +sq (causal decode
         # alignment; non-causal q position = old_len like the reference).
@@ -164,14 +168,19 @@ def flash_attn_with_kvcache(
         num_splits = num_splits_heuristic(b, num_cores, s_max_tiles)
 
     interpret = jax.default_backend() == "cpu"
-    out, lse = flash_attention_decode(
+    res = flash_attention_decode(
         q, k_cache, v_cache, sk_eff,
         block_table=block_table, cache_batch_idx=cache_batch_idx,
-        cache_leftpad=cache_leftpad, alibi_slopes=_norm_slopes(alibi_slopes, b),
+        cache_leftpad=cache_leftpad, k_new=k_new, v_new=v_new,
+        alibi_slopes=_norm_slopes(alibi_slopes, b),
         q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
         softcap=softcap, num_splits=num_splits, interpret=interpret,
     )
+    if k_new is not None:
+        out, lse, k_cache, v_cache = res
+    else:
+        out, lse = res
     if oob_rows is not None:
         out = jnp.where(oob_rows[:, None, None, None],
                         jnp.asarray(float("nan"), out.dtype), out)

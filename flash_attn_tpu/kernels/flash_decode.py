@@ -53,7 +53,14 @@ def _decode_kernel(
 ):
     """All KV heads are processed per grid step: one strided DMA fetches the
     (h_k, block_k, d) slab (8x fewer, 8x larger transfers than per-head
-    fetching), and a static per-head loop runs the online softmax."""
+    fetching), and a static per-head loop runs the online softmax.
+
+    NOTE an in-kernel cache append (new K/V rows DMA'd into aliased cache
+    outputs at the dynamic position, replacing the XLA scatter) was built
+    and REMOVED: the dynamic-destination VMEM->HBM copy into an aliased
+    ANY output sent the Mosaic compile past 20 minutes (same pathology
+    family as scalar-prefetch reads in index maps, DESIGN.md). The append
+    stays an XLA scatter in cache/kvcache.py with unique_indices hints."""
     refs = list(refs)
     slopes_ref = refs.pop(0) if has_alibi else None
     # (2, 1, h_k, 128) VMEM: [0]=q_descale*k_descale, [1]=v_descale,
@@ -234,10 +241,12 @@ def flash_attention_decode(
     q,         # (b, sq, h, d)
     k_cache,   # (b_c, h_k, s_max, d) or paged (pages, h_k, page_size, d)
     v_cache,   # same with dv
-    cache_seqlens,      # (b,) int32 effective kv lengths (incl leftpad)
+    cache_seqlens,      # (b,) int32 effective kv lengths (incl k_new rows)
     block_table=None,   # (b, max_pages) int32 — paged iff not None
     cache_batch_idx=None,  # (b,) int32
     cache_leftpad=None,    # (b,) int32
+    k_new=None,  # (b, s_new, h_k, d): append in-kernel at cache_seqlens-s_new
+    v_new=None,
     alibi_slopes=None,     # (b, h)
     q_descale=None,        # (b, h_k) f32: FP8/INT8 dequant scales
     k_descale=None,
@@ -251,8 +260,27 @@ def flash_attention_decode(
     interpret: bool = False,
     out_fp32: bool = False,
 ):
-    """Returns (out (b, sq, h, dv), lse (b, h, sq) fp32)."""
+    """Returns (out (b, sq, h, dv), lse (b, h, sq) fp32); with k_new given
+    the new rows are scattered into the caches first (kv_cache_update) and
+    the updated (k_cache, v_cache) are also returned."""
     b, sq, h, d = q.shape
+    append = k_new is not None
+    if append:
+        from flash_attn_tpu.cache.kvcache import kv_cache_update
+        k_cache, v_cache = kv_cache_update(
+            k_cache, v_cache, k_new, v_new,
+            cache_seqlens - k_new.shape[1],
+            block_table=block_table, cache_batch_idx=cache_batch_idx)
+        out, lse = flash_attention_decode(
+            q, k_cache, v_cache, cache_seqlens, block_table=block_table,
+            cache_batch_idx=cache_batch_idx, cache_leftpad=cache_leftpad,
+            alibi_slopes=alibi_slopes, q_descale=q_descale,
+            k_descale=k_descale, v_descale=v_descale,
+            softmax_scale=softmax_scale, causal=causal,
+            window_size=window_size, softcap=softcap,
+            num_splits=num_splits, block_k=block_k, interpret=interpret,
+            out_fp32=out_fp32)
+        return out, lse, k_cache, v_cache
     # Manual HBM->VMEM DMA requires 128-lane-aligned head dims (MLA absorbed
     # 576 is not); pad here. Serving stacks should allocate caches padded to
     # avoid this per-call copy.
@@ -365,13 +393,36 @@ def flash_attention_decode(
         b_c, h_k, s_max, _ = k_cache.shape
         # tile must divide s_max exactly: the HBM->VMEM DMA slices may not
         # overrun the cache allocation
-        bk = block_k or 512
-        while bk > 128 and s_max % bk != 0:
-            bk //= 2
-        if s_max % bk != 0:
-            bk = math.gcd(s_max, bk * 128) if s_max >= 128 else s_max
-            while s_max % bk != 0:
+        # Largest 128-multiple divisor of s_max up to the cap: big slab DMAs
+        # are the whole game here (s_max=640 with the old pow2-only probe
+        # fell to bk=128 -> 5x the DMA issues; worse, non-128-divisible
+        # s_max fell to bk=8 -> 32 KB DMAs at 143 GB/s measured).
+        # VMEM guard: double-buffered K+V slabs must leave room for the
+        # accumulators (per slot: h_k * bk * (d + dv) * itemsize).
+        itemsize = jnp.dtype(k_cache.dtype).itemsize
+        dv_tmp = v_cache.shape[-1]
+        vmem_cap = 48 * 1024 * 1024
+        bk_vmem = vmem_cap // (2 * h_k * (d + dv_tmp) * itemsize)
+        cap = block_k or min(1024, max(128, bk_vmem // 128 * 128))
+        bk = 0
+        for cand in range(128, min(cap, s_max) + 1, 128):
+            if s_max % cand == 0:
+                bk = cand
+        if bk == 0:
+            bk = block_k or 512
+            while bk > 128 and s_max % bk != 0:
                 bk //= 2
+            if s_max % bk != 0:
+                bk = math.gcd(s_max, bk * 128) if s_max >= 128 else s_max
+                while s_max % bk != 0:
+                    bk //= 2
+        if bk < 128 and s_max >= 128:
+            from flash_attn_tpu.utils.fa_logging import logger
+            logger.warning(
+                "flash_decode: cache seqlen %d is not 128-divisible; KV "
+                "tile degrades to %d rows (measured ~4x bandwidth loss). "
+                "Allocate caches with seqlen a multiple of 512 "
+                "(modules/mha.py rounds its allocations).", s_max, bk)
         max_tiles = s_max // bk
         num_pages = 1
     dv = v_cache.shape[-1]
@@ -431,24 +482,30 @@ def flash_attention_decode(
     ]
     inputs += [qp, k_cache, v_cache]
 
+    out_specs = [
+        pl.BlockSpec((1, 1, h_k, rows_pad, dv),
+                     lambda b_, s, *_: (s, b_, 0, 0, 0)),
+        pl.BlockSpec((1, 1, h_k, rows_pad, 1),
+                     lambda b_, s, *_: (s, b_, 0, 0, 0)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, dv), jnp.float32),
+        jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, 1), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, h_k, bk, d), k_cache.dtype),   # K double buffer
+        pltpu.VMEM((2, h_k, bk, dv), v_cache.dtype),  # V double buffer
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((h_k, rows_pad, dv), jnp.float32),
+        pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
+        pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, num_splits),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, h_k, rows_pad, dv),
-                         lambda b_, s, *_: (s, b_, 0, 0, 0)),
-            pl.BlockSpec((1, 1, h_k, rows_pad, 1),
-                         lambda b_, s, *_: (s, b_, 0, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, h_k, bk, d), k_cache.dtype),   # K double buffer
-            pltpu.VMEM((2, h_k, bk, dv), v_cache.dtype),  # V double buffer
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((h_k, rows_pad, dv), jnp.float32),
-            pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
-            pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
 
     kernel = functools.partial(
@@ -470,12 +527,7 @@ def flash_attention_decode(
     outp, lsep = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, dv),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, 1),
-                                 jnp.float32),
-        ],
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),

@@ -235,10 +235,20 @@ class GPTLMHeadModel(nn.Module):
                                         dtype=self.config.dtype)
 
     def __call__(self, input_ids, position_ids=None, mode: str = "train",
-                 deterministic: bool = True, **mixer_kwargs):
+                 deterministic: bool = True, logits_positions=None,
+                 **mixer_kwargs):
+        """logits_positions (b,) int32: compute lm_head logits only at these
+        sequence positions, returning (b, 1, vocab) — the reference's
+        last-token-only inference (models/gpt.py num_last_tokens). A full
+        (b, s, vocab) fp32 logits tensor is ~6.6 GB at b=64/s=512/50k vocab;
+        serving prefill only samples one position per row."""
         cfg = self.config
         hidden = self.transformer(input_ids, position_ids, mode=mode,
                                   deterministic=deterministic, **mixer_kwargs)
+        if logits_positions is not None:
+            hidden = jnp.take_along_axis(
+                hidden, logits_positions[:, None, None].astype(jnp.int32),
+                axis=1)
         if cfg.tie_word_embeddings:
             logits = self.transformer.attend(hidden)
         else:

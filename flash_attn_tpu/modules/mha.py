@@ -192,7 +192,14 @@ class MHA(nn.Module):
                 if paged:
                     return (self.paged_kv_num_pages, h_k,
                             self.paged_kv_page_size, d)
-                return (b, h_k, self.max_decode_seqlen, d)
+                # Round the cache seq allocation up to a 128 multiple: the
+                # decode kernel's HBM->VMEM slab DMA needs a tile size that
+                # divides s_max, and a non-128-divisible s_max degrades it
+                # to 8-row DMAs (measured 143 GB/s vs 646 achievable — the
+                # whole decode step was DMA-issue-bound on this). 128 keeps
+                # slabs >=512 KB without inflating cache memory.
+                s_alloc = -(-self.max_decode_seqlen // 128) * 128
+                return (b, h_k, s_alloc, d)
 
             if decode:
                 # incremental decoding against the cache collection
@@ -239,7 +246,9 @@ class MHA(nn.Module):
                         shape = (self.paged_kv_num_pages, h_k,
                                  self.paged_kv_page_size, d)
                     else:
-                        shape = (b, h_k, self.max_decode_seqlen, d)
+                        # 128-multiple alloc: see _cache_shape above
+                        s_alloc = -(-self.max_decode_seqlen // 128) * 128
+                        shape = (b, h_k, s_alloc, d)
                     kcache = self.variable(
                         "cache", "k", lambda: jnp.zeros(shape, self.dtype))
                     vcache = self.variable(

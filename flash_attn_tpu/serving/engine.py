@@ -91,24 +91,27 @@ class InferenceEngine:
             nxt = sample_token(logits[:, -1], key, self.cfg)
             return nxt, state["cache"], rng
 
-        self._decode = jax.jit(_decode_step)
+        # Donate the cache: the per-layer KV scatter otherwise forces XLA to
+        # materialize a full cache copy per step (measured: the copies, not
+        # the math, dominated 1B-model decode).
+        self._decode = jax.jit(_decode_step, donate_argnums=(1,))
 
         def _prefill(params, cache, ids, slot_ids, lengths, rng, block_table):
             variables = {"params": params}
             if cache is not None:
                 variables["cache"] = cache
             kw = {} if block_table is None else {"block_table": block_table}
+            # lm_head runs only at each prompt's true last position (full
+            # (b, s, vocab) fp32 logits OOM at serving batch sizes)
             logits, state = self.model.apply(
                 variables, ids, mode="prefill", mutable=["cache"],
-                slot_ids=slot_ids, prefill_lengths=lengths, **kw)
-            # logits at each prompt's true last position
-            last = jnp.take_along_axis(
-                logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
+                slot_ids=slot_ids, prefill_lengths=lengths,
+                logits_positions=lengths - 1, **kw)
             rng, key = jax.random.split(rng)
-            nxt = sample_token(last, key, self.cfg)
+            nxt = sample_token(logits[:, 0], key, self.cfg)
             return nxt, state["cache"], rng
 
-        self._prefill = jax.jit(_prefill)
+        self._prefill = jax.jit(_prefill, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int = 64) -> int:
