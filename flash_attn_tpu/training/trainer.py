@@ -225,6 +225,33 @@ class Trainer:
             raise
 
     # ------------------------------------------------------------------
+    def causality_check(self, seqlen: int = 32,
+                        splits=(1, 8, 16)) -> Dict[str, float]:
+        """Causality monitor (reference training/src/callbacks/
+        causality_monitor.py: dy[k]/du[s] ~= 0 for s > k, measured there as
+        gradient leakage). JAX-functional form of the same contract: edit
+        tokens at positions >= k and measure max |delta logits| strictly
+        before k — exactly 0 for a causal model, loud for any kernel or
+        masking regression. Returns {"causality_leak_<k>": max_abs_delta}.
+        """
+        cfg = self.cfg
+        key = jax.random.PRNGKey(1234)
+        ids = jax.random.randint(key, (2, seqlen), 0, cfg.model.vocab_size)
+        with jax.set_mesh(self.mesh):
+            base = self.model.apply({"params": self.params}, ids)
+            stats = {}
+            for k in splits:
+                if not 0 < k < seqlen:
+                    continue
+                edited = ids.at[:, k:].set(
+                    (ids[:, k:] + 7) % cfg.model.vocab_size)
+                alt = self.model.apply({"params": self.params}, edited)
+                leak = float(jnp.abs(
+                    (alt[:, :k] - base[:, :k]).astype(jnp.float32)).max())
+                stats[f"causality_leak_{k}"] = leak
+        return stats
+
+    # ------------------------------------------------------------------
     def save_checkpoint(self, dataloader=None, tag: Optional[str] = None):
         import orbax.checkpoint as ocp
 

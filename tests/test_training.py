@@ -130,3 +130,23 @@ def test_zero2_matches_baseline(token_file):
     # params stay correctly sharded after the all-gather constraint
     wqkv = trainer.params["transformer"]["layers_0"]["mixer"]["Wqkv"]["kernel"]
     assert "model" in str(wqkv.sharding.spec)
+
+
+def test_causality_monitor():
+    """Trainer.causality_check: zero leakage on the causal model (reference
+    callbacks/causality_monitor.py contract)."""
+    from flash_attn_tpu.training.trainer import TrainConfig, Trainer
+    from flash_attn_tpu.models.gpt import GPTConfig
+
+    cfg = TrainConfig(
+        model=GPTConfig(vocab_size=64, n_positions=0, n_embd=64, n_layer=2,
+                        n_head=4, rotary_emb_fraction=1.0, use_rms_norm=True,
+                        dtype=jnp.float32),
+        batch_size=2, seqlen=32, data_parallel=1, model_parallel=1,
+        zero1=False)
+    tr = Trainer(cfg)
+    stats = tr.causality_check(seqlen=32, splits=(1, 8, 16))
+    assert set(stats) == {"causality_leak_1", "causality_leak_8",
+                          "causality_leak_16"}
+    for k, v in stats.items():
+        assert v == 0.0, (k, v)
