@@ -42,6 +42,11 @@ def config(size: str, max_decode: int) -> GPTConfig:
 def main():
     size = sys.argv[1] if len(sys.argv) > 1 else "tiny"
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # Batch-chunked prefill: rows per prefill dispatch (0 = whole batch in
+    # one program). Large batches OOM on prefill activations without it;
+    # chunks write disjoint slot ranges of one shared B-slot cache
+    # (slot-mapped prefill, same path the continuous-batching engine uses).
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     prompt_len, gen_len = 512, 64
     cfg = config(size, prompt_len + gen_len + 8)
     model = GPTLMHeadModel(cfg)
@@ -50,7 +55,7 @@ def main():
     params = model.init(jax.random.PRNGKey(1), ids[:, :8])["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model={size} params={n_params/1e6:.1f}M batch={b} "
-          f"prompt={prompt_len}", flush=True)
+          f"prompt={prompt_len} prefill_chunk={chunk or b}", flush=True)
 
     @jax.jit
     def prefill(params, ids):
@@ -59,6 +64,38 @@ def main():
             {"params": params}, ids, mode="prefill", mutable=["cache"],
             logits_positions=last)
         return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), state["cache"]
+
+    @jax.jit
+    def alloc_cache(params):
+        # Trace a tiny B-row prefill just to allocate the cache collection.
+        _, state = model.apply(
+            {"params": params}, jnp.zeros((b, 8), jnp.int32), mode="prefill",
+            mutable=["cache"], slot_ids=jnp.arange(b),
+            prefill_lengths=jnp.zeros((b,), jnp.int32))
+        return state["cache"]
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def prefill_chunk(params, cache, ids, slot_ids):
+        lengths = jnp.full((ids.shape[0],), ids.shape[1], jnp.int32)
+        logits, state = model.apply(
+            {"params": params, "cache": cache}, ids, mode="prefill",
+            mutable=["cache"], slot_ids=slot_ids, prefill_lengths=lengths,
+            logits_positions=lengths - 1)
+        return jnp.argmax(logits[:, 0], -1).astype(jnp.int32), state["cache"]
+
+    def prefill_chunked(params, ids):
+        cache = alloc_cache(params)
+        toks = []
+        for lo in range(0, b, chunk):
+            tok, cache = prefill_chunk(
+                params, cache, ids[lo:lo + chunk],
+                jnp.arange(lo, lo + chunk, dtype=jnp.int32))
+            toks.append(tok)
+        return jnp.concatenate(toks), cache
+
+    if chunk:
+        assert b % chunk == 0, (b, chunk)
+        prefill = prefill_chunked
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_step(params, cache, tok):

@@ -547,6 +547,8 @@ def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
     single-pass kernel when the full-KV accumulators fit VMEM (virtually
     always) and the layouts are DMA-aligned, else the two-kernel flash_bwd
     path (which takes bhsd — transposed only on this rare fallback)."""
+    import os
+
     from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
 
     d = q.shape[-1]
@@ -560,6 +562,16 @@ def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
     # The (d, sk_pad) accumulators need a 128-multiple lane (KV) axis and
     # 8-multiple sublane (head) axis for the manual segment-flush DMA.
     aligned = sk_pad % 128 == 0 and d % 8 == 0 and dv_dim % 8 == 0
+    if (d % 128 == 0 and dv_dim % 128 == 0 and sk_pad % 128 == 0
+            and fits_vmem(sk_pad, d, dv_dim, bq)
+            and os.environ.get("FA_BWD_PAIRED", "0") == "1"):
+        # Paired-tile software-pipelined variant (flash_bwd_paired.py):
+        # overlaps one tile's softmax VPU chain with the other's matmuls.
+        # Env-gated until validated faster on the target hardware.
+        from flash_attn_tpu.kernels.flash_bwd_paired import (
+            flash_attention_bwd_paired)
+
+        return flash_attention_bwd_paired(do, q, k, v, out, lse, **kw)
     if aligned and fits_vmem(sk_pad, d, dv_dim, bq):
         return flash_attention_bwd_fused(do, q, k, v, out, lse, **kw)
     if kw.pop("aux_tensors", None):

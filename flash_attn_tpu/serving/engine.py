@@ -66,13 +66,19 @@ class PagePool:
 class InferenceEngine:
     def __init__(self, model, params, max_batch: int, gen_cfg: GenerationConfig,
                  rng: Optional[jax.Array] = None,
-                 page_pool: Optional[PagePool] = None):
+                 page_pool: Optional[PagePool] = None,
+                 max_admit_tokens: Optional[int] = None):
         self.model = model
         self.params = params
         self.B = max_batch
         self.cfg = gen_cfg
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.pool = page_pool
+        # Admission token budget: caps rows*max_prompt_len per prefill call
+        # so admission activation memory stays bounded at large slot counts
+        # (the chunked-prefill half of vLLM-style scheduling; leftover
+        # requests are admitted on subsequent steps between decode steps).
+        self.max_admit_tokens = max_admit_tokens
 
         self.queue: deque = deque()
         self.requests: Dict[int, Request] = {}
@@ -172,6 +178,13 @@ class InferenceEngine:
         while free and self.queue:
             req = self.queue[0]
             slot = free[0]
+            if self.max_admit_tokens is not None and admit:
+                # Padded prefill cost is rows * max_len; admit the request
+                # only if the padded batch stays within the token budget.
+                max_len = max(len(req.prompt),
+                              max(len(r.prompt) for _, r in admit))
+                if (len(admit) + 1) * max_len > self.max_admit_tokens:
+                    break  # admit the rest next step
             if self.pool is not None and not self.pool.alloc(
                     slot, len(req.prompt) + req.max_new_tokens):
                 self.pool.release(slot)

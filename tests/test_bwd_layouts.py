@@ -62,3 +62,43 @@ def test_fused_vmem_gate():
     two-kernel path rather than over-allocating VMEM accumulators."""
     assert fits_vmem(4096, 128, 128, 512)
     assert not fits_vmem(65536, 128, 128, 512)
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,h,hk,causal,bq,bk",
+    [
+        (2, 256, 256, 4, 2, True, 64, 64),   # odd/even tile rows, GQA
+        (1, 192, 256, 2, 2, True, 64, 64),   # row pad + bottom-right shift
+        (2, 256, 256, 4, 4, False, 64, 128),
+        (1, 256, 320, 2, 1, True, 64, 64),   # col pad, group 2
+    ],
+)
+def test_paired_matches_fused(b, sq, sk, h, hk, causal, bq, bk):
+    """The paired-tile pipelined backward (flash_bwd_paired) is numerically
+    identical to the fused single-pass kernel: same tile math, same fixed
+    iteration order, just two tiles per grid step."""
+    from flash_attn_tpu.kernels.flash_bwd_fused import (
+        flash_attention_bwd_fused)
+    from flash_attn_tpu.kernels.flash_bwd_paired import (
+        flash_attention_bwd_paired)
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+
+    d = 128
+    kq, kk, kv, kdo = jax.random.split(jax.random.PRNGKey(b + sq), 4)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, sk, hk, d), jnp.float32)
+    v = jax.random.normal(kv, (b, sk, hk, d), jnp.float32)
+    do = jax.random.normal(kdo, (b, sq, h, d), jnp.float32)
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    interp = jax.default_backend() == "cpu"
+    out_bh, lse = flash_attention_fwd(
+        tr(q), tr(k), tr(v), causal=causal, block_q=bq, block_k=bk,
+        interpret=interp)
+    out = tr(out_bh)
+    kw = dict(causal=causal, block_q=bq, block_k=bk, interpret=interp)
+    r_fused = flash_attention_bwd_fused(do, q, k, v, out, lse, **kw)
+    r_paired = flash_attention_bwd_paired(do, q, k, v, out, lse, **kw)
+    for name, a, bb in zip(("dq", "dk", "dv"), r_fused, r_paired):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            atol=1e-5, rtol=1e-5, err_msg=name)

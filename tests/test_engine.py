@@ -102,3 +102,21 @@ def test_engine_paged_matches_linear(model_and_params):
         assert res_lin[r1] == res_paged[r2], (res_lin[r1], res_paged[r2])
     # pages were recycled back to the pool
     assert len(pool.free) == num_pages
+
+
+def test_engine_token_budgeted_admission(model_and_params):
+    """max_admit_tokens chunks admission across steps (bounded prefill
+    activation memory) without changing greedy outputs."""
+    model, params = model_and_params
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, 96, size=n).tolist() for n in (9, 8, 7, 6)]
+    n_new = 6
+
+    eng = InferenceEngine(model, params, max_batch=4,
+                          gen_cfg=GenerationConfig(top_k=1),
+                          max_admit_tokens=10)  # 1 row of 9 > 10/2 -> chunks
+    ids = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    results = eng.run()
+    for rid, prompt in zip(ids, prompts):
+        expect = _reference_generation(model, params, prompt, n_new)
+        assert results[rid] == expect, (rid, results[rid], expect)
