@@ -102,3 +102,40 @@ def test_paired_matches_fused(b, sq, sk, h, hk, causal, bq, bk):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(bb, np.float32),
             atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,h,hk,causal,win,alibi,softcap",
+    [
+        (2, 256, 256, 4, 2, True, (None, None), False, 0.0),
+        (1, 192, 256, 2, 2, True, (None, None), False, 0.0),
+        (2, 256, 256, 4, 4, False, (None, None), False, 0.0),
+        (1, 256, 320, 2, 1, True, (None, None), False, 0.0),
+        (1, 256, 256, 2, 2, False, (96, 0), False, 0.0),
+        (2, 256, 256, 4, 2, True, (None, None), True, 8.0),
+    ],
+)
+def test_paired_fwd_matches_baseline(b, sq, sk, h, hk, causal, win, alibi,
+                                     softcap):
+    """flash_fwd_paired (two KV tiles per grid step, bshd-native) is
+    numerically identical to the baseline forward kernel."""
+    from flash_attn_tpu.kernels.flash_fwd_paired import (
+        flash_attention_fwd_paired)
+
+    d = 128
+    interp = jax.default_backend() == "cpu"
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    ks = jax.random.split(jax.random.PRNGKey(sq + sk + h), 3)
+    q = jax.random.normal(ks[0], (b, sq, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, sk, hk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, sk, hk, d), jnp.float32)
+    slopes = (jnp.linspace(0.01, 0.1, b * h).reshape(b, h) if alibi
+              else None)
+    kw = dict(causal=causal, window_size=win, alibi_slopes=slopes,
+              softcap=softcap, block_q=64, block_k=64, interpret=interp)
+    o1, l1 = flash_attention_fwd(tr(q), tr(k), tr(v), **kw)
+    o2, l2 = flash_attention_fwd_paired(q, k, v, **kw)
+    np.testing.assert_allclose(np.asarray(tr(o1), np.float32),
+                               np.asarray(o2, np.float32), atol=2e-5)
+    np.testing.assert_allclose(np.nan_to_num(np.asarray(l1)),
+                               np.nan_to_num(np.asarray(l2)), atol=2e-5)
