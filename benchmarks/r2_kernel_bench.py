@@ -95,6 +95,41 @@ def grad_program():
           flush=True)
 
 
+def fwd_paired(bq=None, bk=None, causal=True):
+    from flash_attn_tpu.kernels.flash_fwd_paired import (
+        flash_attention_fwd_paired)
+    b, h, s, d = 4, 16, 8192, 128
+    q, k, v = make_qkv(b, h, s, d)
+    tr = lambda x: jnp.swapaxes(x, 1, 2)  # paired fwd is bshd-native
+    q, k, v = tr(q), tr(k), tr(v)
+    fn = jax.jit(lambda q, k, v: flash_attention_fwd_paired(
+        q, k, v, causal=causal, block_q=bq, block_k=bk)[0])
+    t = bench_fn(fn, q, k, v)
+    tf = 4.0 * b * h * s * s * d / (2 if causal else 1) / t / 1e12
+    print(f"fwd PAIRED causal={causal} seq8k bq={bq} bk={bk}: "
+          f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
+
+
+def bwd_paired(bq=None, bk=None, causal=True, s=4096):
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+    from flash_attn_tpu.kernels.flash_bwd_paired import (
+        flash_attention_bwd_paired)
+    b, h, d = 4, 16, 128
+    q, k, v = make_qkv(b, h, s, d)
+    out, lse = jax.jit(lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=causal, return_lse=True))(q, k, v)
+    do = jnp.ones_like(out)
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    do, q, k, v, out = tr(do), tr(q), tr(k), tr(v), tr(out)
+    fn = jax.jit(lambda do, q, k, v, out, lse: flash_attention_bwd_paired(
+        do, q, k, v, out, lse, causal=causal,
+        block_q=bq, block_k=bk)[0])
+    t = bench_fn(fn, do, q, k, v, out, lse)
+    tf = 2.5 * 4.0 * b * h * s * s * d / (2 if causal else 1) / t / 1e12
+    print(f"bwd PAIRED seq{s} causal={causal} bq={bq} bk={bk}: "
+          f"{tf:.1f} TF/s-equiv ({t*1e3:.2f} ms)", flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     bq = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -104,6 +139,14 @@ if __name__ == "__main__":
         fwd_causal(bq, bk)
     if what == "fwdnc":
         fwd_noncausal()
+    if what == "fwdp":
+        fwd_paired(bq, bk)
+    if what == "fwdpnc":
+        fwd_paired(bq, bk, causal=False)
+    if what == "bwdp":
+        bwd_paired(bq, bk)
+    if what == "bwdpnc":
+        bwd_paired(bq, bk, causal=False)
     if what in ("bwd", "all"):
         bwd_fused(bq, bk)
     if what == "bwdnc":
