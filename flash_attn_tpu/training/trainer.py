@@ -54,6 +54,11 @@ class TrainConfig:
     zero1: bool = True
     zero2: bool = False      # also shard gradients over the data axis
     ema_decay: float = 0.0   # 0 disables (reference callbacks/ema.py)
+    # Dynamic loss scaling for fp16 training (reference trains fp16 under
+    # Lightning's GradScaler and monitors the scale via
+    # callbacks/loss_scale_monitor.py). 0 disables (bf16 needs none).
+    loss_scale_init: float = 0.0
+    loss_scale_growth_interval: int = 200
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 500
     log_every: int = 10
@@ -126,28 +131,63 @@ class Trainer:
                 self._zero_sharding, self.params, shardings)
             param_shardings = shardings
 
-        def train_step(params, opt_state, input_ids, labels, ema):
+        self.scaler = (
+            {"scale": jnp.float32(cfg.loss_scale_init),
+             "good_steps": jnp.int32(0)}
+            if cfg.loss_scale_init > 0 else None)
+
+        def train_step(params, opt_state, input_ids, labels, ema, scaler):
             def loss_fn(p):
                 logits = model.apply({"params": p}, input_ids)
-                return cross_entropy_loss(logits, labels)
+                loss = cross_entropy_loss(logits, labels)
+                if scaler is not None:
+                    return loss * scaler["scale"], loss
+                return loss, loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (_, loss), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            if scaler is not None:
+                inv = 1.0 / scaler["scale"]
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32) * inv, grads)
             if use_zero2:
                 grads = jax.lax.with_sharding_constraint(
                     grads, grad_shardings)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            new_params, new_opt = params, opt_state
+            updates, new_opt = self.tx.update(grads, new_opt, params)
+            new_params = optax.apply_updates(params, updates)
+            if scaler is not None:
+                # Dynamic scaling contract (torch GradScaler semantics the
+                # reference trains under): non-finite grads -> skip the
+                # update, halve the scale; after growth_interval clean
+                # steps -> double it.
+                finite = jnp.isfinite(gnorm)
+                sel = lambda a, b: jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(finite, x, y), a, b)
+                new_params = sel(new_params, params)
+                new_opt = sel(new_opt, opt_state)
+                grown = scaler["good_steps"] + 1 >= \
+                    cfg.loss_scale_growth_interval
+                scale = jnp.where(
+                    finite,
+                    jnp.where(grown, scaler["scale"] * 2.0, scaler["scale"]),
+                    jnp.maximum(scaler["scale"] * 0.5, 1.0))
+                good = jnp.where(
+                    finite,
+                    jnp.where(grown, 0, scaler["good_steps"] + 1), 0)
+                scaler = {"scale": scale, "good_steps": good}
+            params, opt_state = new_params, new_opt
             if use_zero2:
                 # the all-gather back to the params' own sharding
                 params = jax.lax.with_sharding_constraint(
                     params, param_shardings)
-            gnorm = optax.global_norm(grads)
             if ema is not None:
                 d = cfg.ema_decay
                 ema = jax.tree_util.tree_map(
                     lambda e, p: d * e + (1 - d) * p.astype(e.dtype),
                     ema, params)
-            return params, opt_state, loss, gnorm, ema
+            return params, opt_state, loss, gnorm, ema, scaler
 
         self._step = jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -196,9 +236,10 @@ class Trainer:
                 for _ in range(steps):
                     inp, lab = next(it)
                     (self.params, self.opt_state, loss, gnorm,
-                     self.ema_params) = self._step(
+                     self.ema_params, self.scaler) = self._step(
                         self.params, self.opt_state,
-                        jnp.asarray(inp), jnp.asarray(lab), self.ema_params)
+                        jnp.asarray(inp), jnp.asarray(lab), self.ema_params,
+                        self.scaler)
                     self.step_count += 1
                     if self.step_count % cfg.log_every == 0:
                         loss_v = float(loss)
@@ -206,14 +247,20 @@ class Trainer:
                         dt = (now - t_last) / cfg.log_every
                         t_last = now
                         tps = tokens_per_step / dt
-                        log_fn({
+                        metrics = {
                             "step": self.step_count,
                             "loss": round(loss_v, 4),
                             "grad_norm": round(float(gnorm), 4),
                             "tokens_per_s": round(tps, 1),
                             "tflops_per_s": round(
                                 tps * flops_per_token / 1e12, 2),
-                        })
+                        }
+                        if self.scaler is not None:
+                            # loss-scale monitor (reference
+                            # callbacks/loss_scale_monitor.py)
+                            metrics["loss_scale"] = float(
+                                self.scaler["scale"])
+                        log_fn(metrics)
                     if (cfg.ckpt_dir
                             and self.step_count % cfg.ckpt_every == 0):
                         self.save_checkpoint(dataloader)
@@ -263,6 +310,8 @@ class Trainer:
             "params": self.params,
             "opt_state": self.opt_state,
         }
+        if self.scaler is not None:
+            state["scaler"] = self.scaler
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
         meta = {"step": self.step_count}
@@ -277,9 +326,13 @@ class Trainer:
 
         ckptr = ocp.StandardCheckpointer()
         target = {"params": self.params, "opt_state": self.opt_state}
+        if self.scaler is not None:
+            target["scaler"] = self.scaler
         state = ckptr.restore(path, target)
         self.params = state["params"]
         self.opt_state = state["opt_state"]
+        if self.scaler is not None:
+            self.scaler = state["scaler"]
         with open(path + ".meta.json") as f:
             meta = json.load(f)
         self.step_count = int(meta["step"])

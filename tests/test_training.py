@@ -150,3 +150,60 @@ def test_causality_monitor():
                           "causality_leak_16"}
     for k, v in stats.items():
         assert v == 0.0, (k, v)
+
+
+def _scaler_cfg(**kw):
+    return TrainConfig(
+        model=GPTConfig(
+            vocab_size=128, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+            rotary_emb_fraction=1.0, use_rms_norm=True, glu_act=True,
+            max_decode_seqlen=64, dtype=jnp.float32,
+        ),
+        batch_size=4, seqlen=128, lr=1e-3, warmup_steps=2, total_steps=20,
+        log_every=1, **kw,
+    )
+
+
+def test_loss_scaler_matches_unscaled(token_file):
+    """Dynamic loss scaling (reference trains fp16 under torch GradScaler,
+    monitored by callbacks/loss_scale_monitor.py): with finite grads the
+    scaled/unscaled trajectories match (fp32 model: unscaling is exact up
+    to rounding)."""
+    ds = TokenDataset(token_file, seqlen=128)
+    t_plain = Trainer(_scaler_cfg())
+    t_scaled = Trainer(_scaler_cfg(loss_scale_init=1024.0))
+    logs = []
+    t_plain.fit(LMDataLoader(ds, 4), steps=5, log_fn=logs.append)
+    t_scaled.fit(LMDataLoader(ds, 4), steps=5, log_fn=logs.append)
+    assert logs[-1]["loss_scale"] == 1024.0
+    p1 = jax.tree_util.tree_leaves(t_plain.params)[0]
+    p2 = jax.tree_util.tree_leaves(t_scaled.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_loss_scaler_skips_overflow_and_grows(token_file):
+    """Non-finite grads skip the update and halve the scale; after
+    growth_interval clean steps the scale doubles (GradScaler contract)."""
+    ds = TokenDataset(token_file, seqlen=128)
+    tr = Trainer(_scaler_cfg(loss_scale_init=1024.0,
+                             loss_scale_growth_interval=3))
+    # Poison one param with NaN: every grad touching it goes non-finite
+    # (the fp16-overflow failure mode, injected deterministically).
+    leaves, treedef = jax.tree_util.tree_flatten(tr.params)
+    poisoned = [leaves[0].at[(0,) * leaves[0].ndim].set(jnp.nan)] + leaves[1:]
+    clean_rest = [np.asarray(l).copy() for l in leaves[1:]]
+    tr.params = jax.tree_util.tree_unflatten(treedef, poisoned)
+    logs = []
+    tr.fit(LMDataLoader(ds, 4), steps=2, log_fn=logs.append)
+    assert logs[-1]["loss_scale"] == 256.0  # halved twice
+    after = jax.tree_util.tree_leaves(tr.params)[1:]
+    for a, b in zip(after, clean_rest):  # update skipped: params unchanged
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # growth: moderate scale, 3 clean steps -> doubles
+    tr2 = Trainer(_scaler_cfg(loss_scale_init=256.0,
+                              loss_scale_growth_interval=3))
+    logs2 = []
+    tr2.fit(LMDataLoader(ds, 4), steps=3, log_fn=logs2.append)
+    assert logs2[-1]["loss_scale"] == 512.0
