@@ -120,3 +120,46 @@ def test_engine_token_budgeted_admission(model_and_params):
     for rid, prompt in zip(ids, prompts):
         expect = _reference_generation(model, params, prompt, n_new)
         assert results[rid] == expect, (rid, results[rid], expect)
+
+
+def test_chunked_slot_prefill_matches_full(model_and_params):
+    """Slot-mapped prefill in row chunks against one shared cache produces
+    the same next tokens and decode state as whole-batch prefill (the
+    serving bench's batch-chunked prefill path)."""
+    model, params = model_and_params
+    b, plen = 4, 24
+    ids = jax.random.randint(jax.random.PRNGKey(3), (b, plen), 0, 96)
+
+    last = jnp.full((b,), plen - 1, jnp.int32)
+    lg_full, st_full = model.apply(
+        {"params": params}, ids, mode="prefill", mutable=["cache"],
+        logits_positions=last)
+    tok_full = np.asarray(jnp.argmax(lg_full[:, -1], -1))
+
+    _, st0 = model.apply(
+        {"params": params}, jnp.zeros((b, 8), jnp.int32), mode="prefill",
+        mutable=["cache"], slot_ids=jnp.arange(b),
+        prefill_lengths=jnp.zeros((b,), jnp.int32))
+    cache = st0["cache"]
+    toks = []
+    for lo in range(0, b, 2):
+        lengths = jnp.full((2,), plen, jnp.int32)
+        lg, st = model.apply(
+            {"params": params, "cache": cache}, ids[lo:lo + 2],
+            mode="prefill", mutable=["cache"],
+            slot_ids=jnp.arange(lo, lo + 2), prefill_lengths=lengths,
+            logits_positions=lengths - 1)
+        cache = st["cache"]
+        toks.append(np.asarray(jnp.argmax(lg[:, 0], -1)))
+    np.testing.assert_array_equal(tok_full, np.concatenate(toks))
+
+    # one decode step from each cache agrees too
+    lg1, _ = model.apply({"params": params, "cache": st_full["cache"]},
+                         jnp.asarray(tok_full)[:, None], mode="decode",
+                         mutable=["cache"])
+    lg2, _ = model.apply({"params": params, "cache": cache},
+                         jnp.asarray(tok_full)[:, None], mode="decode",
+                         mutable=["cache"])
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(lg1[:, -1], -1)),
+        np.asarray(jnp.argmax(lg2[:, -1], -1)))
