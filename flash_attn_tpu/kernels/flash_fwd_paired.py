@@ -355,7 +355,9 @@ def flash_attention_fwd_paired(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024 if bmask is not None else None,
+            # paired tiles double the live intermediates; the 16 MiB scoped
+            # default rejects the large-tile configs (v5e has ~128 MiB)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * sq * sk * (d + dv) // (2 if causal else 1),
