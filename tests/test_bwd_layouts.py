@@ -139,3 +139,29 @@ def test_paired_fwd_matches_baseline(b, sq, sk, h, hk, causal, win, alibi,
                                np.asarray(o2, np.float32), atol=2e-5)
     np.testing.assert_allclose(np.nan_to_num(np.asarray(l1)),
                                np.nan_to_num(np.asarray(l2)), atol=2e-5)
+
+
+def test_paired_fwd_d256_and_dropout():
+    """Paired fwd at d=256 and with dropout matches the baseline kernel
+    (dropout_keep depends only on absolute (row, col), so pairing cannot
+    change the mask)."""
+    from flash_attn_tpu.kernels.flash_fwd_paired import (
+        flash_attention_fwd_paired)
+
+    interp = jax.default_backend() == "cpu"
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    for d, dropout in ((256, 0.0), (128, 0.3)):
+        b, s, h = 1, 256, 2
+        ks = jax.random.split(jax.random.PRNGKey(d), 3)
+        q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, s, h, d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+        kw = dict(causal=True, block_q=64, block_k=64, interpret=interp,
+                  dropout_p=dropout,
+                  dropout_seed=jnp.uint32(7) if dropout else None)
+        o1, l1 = flash_attention_fwd(tr(q), tr(k), tr(v), **kw)
+        o2, l2 = flash_attention_fwd_paired(q, k, v, **kw)
+        np.testing.assert_allclose(np.asarray(tr(o1), np.float32),
+                                   np.asarray(o2, np.float32), atol=2e-5)
+        np.testing.assert_allclose(np.nan_to_num(np.asarray(l1)),
+                                   np.nan_to_num(np.asarray(l2)), atol=2e-5)
