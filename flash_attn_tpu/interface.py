@@ -220,6 +220,22 @@ def flash_attn_func(
             or v_descale is not None or qv is not None):
         # FP8 / MLA-qv forward path (no backward, matching the reference's
         # fp8-fwd-only support; MLA bwd uses the separate sparse path)
+        if _fwd_paired_eligible(q, v, None, None, None):
+            from flash_attn_tpu.kernels.flash_fwd_paired import (
+                flash_attention_fwd_paired)
+
+            out, lse = flash_attention_fwd_paired(
+                q, k, v, alibi_slopes=alibi_slopes,
+                learnable_sink=learnable_sink, qv=qv,
+                q_descale=q_descale, k_descale=k_descale,
+                v_descale=v_descale,
+                softmax_scale=softmax_scale, causal=causal,
+                window_size=window_size, softcap=softcap,
+                attention_chunk=attention_chunk,
+                sink_token_length=sink_token_length,
+                interpret=_use_interpret(),
+            )
+            return (out, lse) if return_attn_probs else out
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
         out_t, lse = flash_attention_fwd(
             qt, kt, vt, alibi_slopes=alibi_slopes,

@@ -48,12 +48,14 @@ def _fwd_paired_kernel(*refs, band: PackedBandEven, block_q, block_k,
                        seqlen_q, seqlen_k, scale_log2, softcap, causal,
                        window_left, window_right, attention_chunk,
                        sink_token_length, has_alibi, has_sink, dropout_p,
-                       num_heads, group, out_dtype,
+                       num_heads, group, out_dtype, has_descale, has_qv,
                        bmask: Optional[BandMaskCfg]):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
     slopes_ref = refs.pop(0) if has_alibi else None
     sink_ref = refs.pop(0) if has_sink else None
+    descale_ref = refs.pop(0) if has_descale else None  # (3, b, h_k) SMEM
+    qv_ref = refs.pop(0) if has_qv else None  # (1, bq, dv), shared per row
     bmask_ref = refs.pop(0) if bmask is not None else None
     (q_ref, k0_ref, v0_ref, k1_ref, v1_ref,
      out_ref, lse_ref, acc, m_s, l_s) = refs
@@ -62,6 +64,7 @@ def _fwd_paired_kernel(*refs, band: PackedBandEven, block_q, block_k,
     h_idx = pl.program_id(1)
     u = pl.program_id(2)
     shift = seqlen_k - seqlen_q
+    kh_idx = h_idx // group
 
     t0 = 2 * u
     i, j0_raw, jmax_i, row_first, row_last = band.decode(t0)
@@ -77,10 +80,14 @@ def _fwd_paired_kernel(*refs, band: PackedBandEven, block_q, block_k,
         acc[...] = jnp.zeros_like(acc)
 
     q = q_ref[0]  # (bq, d)
+    if has_descale:
+        q = q.astype(jnp.bfloat16)
 
-    def scores(k_ref_t, j):
+    def scores(k_ref_t, v, j):
         """Masked base-2 scores for KV block j (mirrors _fwd_kernel)."""
         k = k_ref_t[0]  # (bk, d)
+        if has_descale:
+            k = k.astype(jnp.bfloat16)
         if softcap > 0.0:
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -88,10 +95,28 @@ def _fwd_paired_kernel(*refs, band: PackedBandEven, block_q, block_k,
             ) * (scale_log2 / LOG2E)
             s = jnp.tanh(s / softcap) * softcap
             s2 = s * LOG2E
+        elif has_descale:
+            # FP8 path: per-(batch, kv-head) q/k descales fold into the
+            # softmax scale (reference hopper/flash.h:54-62).
+            qd = descale_ref[0, b_idx, kh_idx]
+            kd = descale_ref[1, b_idx, kh_idx]
+            s2 = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale_log2 * qd * kd)
         else:
             qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
             s2 = jax.lax.dot_general(
                 qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if has_qv:
+            # MLA qv term (reference cute/interface.py:3471):
+            # scores += scale * qv . v
+            qvs = (qv_ref[0].astype(jnp.float32) * scale_log2
+                   ).astype(v.dtype)
+            s2 = s2 + jax.lax.dot_general(
+                qvs, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         if has_alibi:
@@ -146,12 +171,14 @@ def _fwd_paired_kernel(*refs, band: PackedBandEven, block_q, block_k,
         """Online-softmax update for one KV tile; ``live`` gates the state
         update (False only on the odd-count pad slot). Dead-tile garbage is
         removed by SELECTS on the narrow state arrays — never multiplied."""
-        s2 = scores(k_ref_t, j)
         v = v_ref_t[0]  # (bk, dv)
+        if has_descale:
+            v = v.astype(jnp.bfloat16)
         if seqlen_k % block_k != 0:
             kv_rows = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, v.shape, 0)
             v = jnp.where(kv_rows < seqlen_k, v, 0)
+        s2 = scores(k_ref_t, v, j)
         m_prev = m_s[...]
         l_prev = l_s[...]
         row_max = jnp.max(s2, axis=-1, keepdims=True)
@@ -204,6 +231,8 @@ def _fwd_paired_kernel(*refs, band: PackedBandEven, block_q, block_k,
         inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
         if dropout_p > 0.0:
             inv_l = inv_l / (1.0 - dropout_p)
+        if has_descale:
+            inv_l = inv_l * descale_ref[2, b_idx, kh_idx]
         out_ref[0] = (o * inv_l).astype(out_dtype)
         lse_ref[0, 0, 0] = lse[:, 0]
 
@@ -222,8 +251,12 @@ def flash_attention_fwd_paired(
     v,  # (b, sk, h_k, dv)
     alibi_slopes=None,
     learnable_sink=None,
+    qv=None,  # (b, sq, h, dv) MLA extra query against V
     dropout_p: float = 0.0,
     dropout_seed=None,
+    q_descale=None,  # (b, h_k) f32 — FP8 descale
+    k_descale=None,
+    v_descale=None,
     softmax_scale: Optional[float] = None,
     causal: bool = False,
     window_size: Tuple[Optional[int], Optional[int]] = (None, None),
@@ -243,8 +276,10 @@ def flash_attention_fwd_paired(
     dv = v.shape[-1]
     group = h // h_k
     assert d % 128 == 0 and dv % 128 == 0, (d, dv)
+    has_descale = (q_descale is not None or k_descale is not None
+                   or v_descale is not None)
     if softmax_scale is None:
-        softmax_scale = 1.0 / math.sqrt(d)
+        softmax_scale = 1.0 / math.sqrt(d if qv is None else d + dv)
     window_left, window_right = normalize_window(window_size)
     if strict_causal:
         assert not causal and window_right is None, (causal, window_right)
@@ -296,6 +331,21 @@ def flash_attention_fwd_paired(
         in_specs.append(pl.BlockSpec(
             (1, h), lambda b_, h_, u: (0, 0), memory_space=pltpu.SMEM))
         inputs.append(learnable_sink.reshape(1, h).astype(jnp.float32))
+    if has_descale:
+        ones = jnp.ones((b, h_k), jnp.float32)
+        descale = jnp.stack([
+            ones if q_descale is None else q_descale.astype(jnp.float32),
+            ones if k_descale is None else k_descale.astype(jnp.float32),
+            ones if v_descale is None else v_descale.astype(jnp.float32),
+        ])
+        in_specs.append(pl.BlockSpec(
+            (3, b, h_k), lambda b_, h_, u: (0, 0, 0),
+            memory_space=pltpu.SMEM))
+        inputs.append(descale)
+    if qv is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, bq, dv), amap(0, lambda b_, h_, i, j: (b_, i, h_))))
+        inputs.append(qv.reshape(b, sq, h * dv))
     if bmask is not None:
         in_specs.append(pl.BlockSpec(
             (bq, bmask.width), lambda b_, h_, u: (0, 0)))
@@ -329,7 +379,8 @@ def flash_attention_fwd_paired(
         has_alibi=alibi_slopes is not None,
         has_sink=learnable_sink is not None,
         dropout_p=dropout_p, num_heads=h, group=group,
-        out_dtype=q.dtype, bmask=bmask,
+        out_dtype=jnp.bfloat16 if has_descale else q.dtype,
+        has_descale=has_descale, has_qv=qv is not None, bmask=bmask,
     )
 
     from flash_attn_tpu.utils.fa_logging import log_kernel_launch
@@ -345,7 +396,8 @@ def flash_attention_fwd_paired(
         in_specs=in_specs,
         out_specs=[out_spec, lse_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, sq, h * dv), q.dtype),
+            jax.ShapeDtypeStruct((b, sq, h * dv),
+                                 jnp.bfloat16 if has_descale else q.dtype),
             jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
         ],
         scratch_shapes=[
