@@ -110,6 +110,20 @@ def fwd_paired(bq=None, bk=None, causal=True):
           f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
 
 
+def fwd_split(bq=None, bk=None, ebq=None, ebk=None):
+    from flash_attn_tpu.kernels.flash_fwd_split import (
+        flash_attention_fwd_split)
+    b, h, s, d = 4, 16, 8192, 128
+    q, k, v = make_qkv(b, h, s, d)
+    fn = jax.jit(lambda q, k, v: flash_attention_fwd_split(
+        q, k, v, block_q=bq, block_k=bk,
+        edge_block_q=ebq, edge_block_k=ebk)[0])
+    t = bench_fn(fn, q, k, v)
+    tf = 4.0 * b * h * s * s * d / 2 / t / 1e12
+    print(f"fwd SPLIT causal seq8k bq={bq} bk={bk} ebq={ebq} ebk={ebk}: "
+          f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
+
+
 def bwd_paired(bq=None, bk=None, causal=True, s=4096):
     from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
     from flash_attn_tpu.kernels.flash_bwd_paired import (
@@ -139,6 +153,10 @@ if __name__ == "__main__":
         fwd_causal(bq, bk)
     if what == "fwdnc":
         fwd_noncausal()
+    if what == "fwds":
+        ebq = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        ebk = int(sys.argv[5]) if len(sys.argv) > 5 else None
+        fwd_split(bq, bk, ebq, ebk)
     if what == "fwdp":
         fwd_paired(bq, bk)
     if what == "fwdpnc":

@@ -352,7 +352,7 @@ def _kv_block_bounds(
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
         "interpret", "return_lse", "dropout_p", "score_mod", "mask_mod",
-        "strict_causal",
+        "strict_causal", "band_override",
     ),
 )
 def flash_attention_fwd(
@@ -381,6 +381,11 @@ def flash_attention_fwd(
     interpret: bool = False,
     return_lse: bool = True,
     strict_causal: bool = False,  # col < row (striped ring attention)
+    band_override=None,  # ((j_min,...), (j_max,...)) custom KV band per
+    # q block; rows with j_max < j_min are EMPTY (their out/lse blocks are
+    # never written — callers must overwrite or mask them). Used by the
+    # split-edge causal driver (flash_fwd_split.py) to run a maskless bulk
+    # pass over full tiles only.
 ):
     """Core fwd dispatch; layout (b, h, s, d). Returns (out, lse).
 
@@ -417,13 +422,18 @@ def flash_attention_fwd(
     # space non-rectangular (causal/local/chunked), enumerate only the
     # in-band (i, j) pairs in one flat grid dimension.
     band = None
-    jmin_s, jmax_s = kv_band_static(
-        nq, nk, bq, bk, shift, causal, window_left, window_right,
-        sink_token_length, attention_chunk,
-    )
-    cand = PackedBand(jmin_s, jmax_s)
-    if cand.num_tiles < nq * nk:
-        band = cand
+    if band_override is not None:
+        jmin_s, jmax_s = band_override
+        assert len(jmin_s) == nq and len(jmax_s) == nq, (nq, band_override)
+        band = PackedBand(jmin_s, jmax_s)
+    else:
+        jmin_s, jmax_s = kv_band_static(
+            nq, nk, bq, bk, shift, causal, window_left, window_right,
+            sink_token_length, attention_chunk,
+        )
+        cand = PackedBand(jmin_s, jmax_s)
+        if cand.num_tiles < nq * nk:
+            band = cand
 
     # Additive band-mask fast path (dispatch/bandmask.py): one VPU add per
     # tile instead of compare+select when the only column mask is the

@@ -1,0 +1,172 @@
+"""Split-edge causal forward: maskless bulk + masked diagonal edge.
+
+The measured causal gap vs non-causal on v5e decomposes into (a) diagonal
+half-tile waste ~= max(bq,bk)/(s+max(bq,bk)) and (b) ~4-6% mask VPU cost on
+EVERY tile (DESIGN.md "causal scheduling"). The reference's CUDA kernels
+split each row's iteration space into masking and non-masking phases inside
+one kernel (csrc/flash_attn/src/flash_fwd_kernel.h:55 n_masking_steps;
+hopper/mainloop_fwd_sm90_tma_gmma_ws.hpp separate masked tail loop) — a
+per-tile branch, which on TPU costs 10-20% because Mosaic drops software
+pipelining across scalar branches (two measured attempts, DESIGN.md).
+
+The TPU-native expression of the same idea is TWO kernel launches over
+disjoint static bands, merged by the standard split-KV combine algebra:
+
+  bulk: every KV tile FULLY below the diagonal for its q block — runs the
+        standard fwd kernel with causal=False over a band override, so the
+        mask code never traces in: zero VPU mask cost, no half tiles.
+  edge: per q block, the 1..ceil(bq/bk)+1 tiles straddling the diagonal —
+        the standard causal kernel over the complementary band override.
+
+combine_splits (kernels/flash_decode.py, the reference's
+hopper/flash_fwd_combine_kernel.h algebra) merges the two partials; the
+extra HBM traffic is 3 reads + 1 write of (out, lse) ~= 2-3% of causal fwd
+time at seq 8k. Rows whose bulk band is empty (the first ceil(bk/bq) q
+blocks) are never written by the bulk kernel; their partial is zero-filled
+with lse=-inf so the combine reduces to the edge partial there.
+"""
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from flash_attn_tpu.dispatch.band import kv_band_static
+from flash_attn_tpu.dispatch.config import get_fwd_config
+from flash_attn_tpu.kernels.flash_decode import combine_splits
+from flash_attn_tpu.kernels.flash_fwd import _next_pow2, flash_attention_fwd
+
+NEG_INF = float("-inf")
+
+
+def split_bands(
+    nq: int, nk: int, block_q: int, block_k: int, shift: int
+) -> Tuple[Tuple[Tuple[int, ...], Tuple[int, ...]],
+           Tuple[Tuple[int, ...], Tuple[int, ...]], int]:
+    """Causal band split into (bulk, edge) per-q-block KV bands.
+
+    bulk row i = [0, full_i - 1] where full_i counts KV tiles with every
+    column <= the block's minimum query row (tile j is full iff
+    (j+1)*block_k - 1 <= i*block_q + shift); empty rows are (0, -1).
+    edge row i = [full_i, j_max_i] (never empty: the diagonal tile always
+    exists). Returns (bulk, edge, n_empty) with n_empty the count of
+    leading bulk-empty q blocks.
+    """
+    _, jmax = kv_band_static(nq, nk, block_q, block_k, shift,
+                             True, None, None, 0, 0)
+    bulk_lo, bulk_hi, edge_lo, edge_hi = [], [], [], []
+    n_empty = 0
+    for i in range(nq):
+        full_i = (i * block_q + shift + 1) // block_k
+        full_i = max(0, min(full_i, nk))
+        hi = jmax[i]
+        full_i = min(full_i, hi + 1)  # never past the causal band
+        bulk_lo.append(0)
+        bulk_hi.append(full_i - 1)
+        if full_i == 0:
+            n_empty += 1
+        edge_lo.append(full_i)
+        edge_hi.append(hi)
+    return ((tuple(bulk_lo), tuple(bulk_hi)),
+            (tuple(edge_lo), tuple(edge_hi)), n_empty)
+
+
+def flash_attention_fwd_split(
+    q,  # (b, h, sq, d)
+    k,  # (b, h_k, sk, d)
+    v,  # (b, h_k, sk, dv)
+    softmax_scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    edge_block_q: Optional[int] = None,
+    edge_block_k: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Causal-only split-edge forward. Returns (out, lse) like
+    flash_attention_fwd(causal=True). Supports the plain hot path only
+    (no window/chunk/sink/alibi/softcap/dropout/flex hooks/fp8) — the
+    dispatcher falls back to the standard kernel elsewhere.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    shift = sk - sq
+    assert shift >= 0, (sq, sk)
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+
+    cfg = get_fwd_config(d, v.shape[-1], sq, sk, True)
+    bq = block_q or cfg.block_q
+    bk = block_k or cfg.block_k
+    # Mirror the kernel's own clamp so the band grid matches its tiling.
+    bq = min(bq, _next_pow2(sq))
+    bk = min(bk, _next_pow2(sk))
+    if sq % bq != 0 or sk % bk != 0:
+        # Partial boundary blocks need the boundary column mask — the
+        # maskless bulk premise breaks; use the standard kernel.
+        return flash_attention_fwd(
+            q, k, v, softmax_scale=softmax_scale, causal=True,
+            block_q=block_q, block_k=block_k, interpret=interpret)
+    nq, nk = sq // bq, sk // bk
+    bulk, edge, n_empty = split_bands(nq, nk, bq, bk, shift)
+
+    ebq = edge_block_q or bq
+    ebk = edge_block_k or bk
+    if ebq != bq or ebk != bk:
+        # Disjointness of the two passes needs edge tiles nested inside
+        # bulk tiles: every edge q block must sit inside ONE bulk q block
+        # (one full_i), and the bulk column boundary full_i*bk must land
+        # on an edge-tile boundary.
+        if (ebq <= bq and bq % ebq == 0 and ebk <= bk and bk % ebk == 0
+                and sq % ebq == 0 and sk % ebk == 0):
+            edge = _rescale_edge(bq, bk, ebq, ebk, shift, sq, sk, nk)
+        else:
+            ebq, ebk = bq, bk
+
+    if bulk[1][-1] < 0:  # no full tiles at all (tiny seqlen): edge-only
+        return flash_attention_fwd(
+            q, k, v, softmax_scale=softmax_scale, causal=True,
+            block_q=bq, block_k=bk, interpret=interpret)
+
+    out_b, lse_b = flash_attention_fwd(
+        q, k, v, softmax_scale=softmax_scale, causal=False,
+        block_q=bq, block_k=bk, band_override=bulk, interpret=interpret)
+    out_e, lse_e = flash_attention_fwd(
+        q, k, v, softmax_scale=softmax_scale, causal=True,
+        block_q=ebq, block_k=ebk, band_override=edge, interpret=interpret)
+
+    if n_empty:
+        # Bulk never visited the first n_empty q blocks: their out/lse
+        # blocks are uninitialized memory. Kill them so the combine
+        # reduces to the edge partial (w = exp(-inf) = 0, out term 0).
+        ze = n_empty * bq
+        out_b = out_b.at[:, :, :ze].set(0)
+        lse_b = lse_b.at[:, :, :ze].set(NEG_INF)
+
+    out_p = jnp.stack([out_b.astype(jnp.float32), out_e.astype(jnp.float32)])
+    lse_p = jnp.stack([lse_b, lse_e])
+    out, lse = combine_splits(out_p, lse_p)
+    return out.astype(q.dtype), lse
+
+
+def _rescale_edge(bq, bk, ebq, ebk, shift, sq, sk, nk):
+    """Edge band re-tiled at (ebq, ebk) <= (bq, bk), ebq | bq and ebk | bk:
+    per edge q block, all KV columns the bulk pass (at (bq, bk) tiling)
+    did NOT cover. Nesting guarantees the bulk boundary full_i*bk is an
+    ebk multiple and each edge block maps to exactly one bulk block, so
+    the passes stay disjoint (no double counting in the combine)."""
+    enq, enk = sq // ebq, sk // ebk
+    _, jmax = kv_band_static(enq, enk, ebq, ebk, shift, True, None, None,
+                             0, 0)
+    lo, hi = [], []
+    for ei in range(enq):
+        i = (ei * ebq) // bq  # the bulk q block containing these rows
+        full_i = max(0, min((i * bq + shift + 1) // bk, nk))
+        full_cols = full_i * bk
+        assert full_cols % ebk == 0
+        # Never empty: the first edge sub-block's max col i*bq+ebq-1+shift
+        # >= full_cols for ebq >= 2 (see driver constraint), so
+        # full_cols // ebk <= jmax[ei]; clamp defensively anyway.
+        e_lo = min(full_cols // ebk, jmax[ei])
+        lo.append(e_lo)
+        hi.append(jmax[ei])
+    return tuple(lo), tuple(hi)
