@@ -290,7 +290,7 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
         "interpret", "dropout_p", "score_mod", "mask_mod",
-        "strict_causal",
+        "strict_causal", "band_override",
     ),
 )
 def flash_attention_bwd_fused(
@@ -317,6 +317,11 @@ def flash_attention_bwd_fused(
     aux_tensors=None,  # tuple of arrays handed to score_mod/mask_mod
     interpret: bool = False,
     strict_causal: bool = False,  # col < row (striped ring attention)
+    band_override=None,  # ((j_min,...), (j_max,...)) per q block; rows
+    # with j_max < j_min are EMPTY — their dQ blocks are never written
+    # (callers must zero them); dK/dV are zero-init per segment so they
+    # stay correct. Used by the split-edge causal driver
+    # (flash_bwd_split.py).
 ):
     """Fused-backward twin of flash_bwd.flash_attention_bwd.
 
@@ -347,10 +352,14 @@ def flash_attention_bwd_fused(
     shift = sk - sq
     sk_pad = nk * bk
 
-    jmin_s, jmax_s = kv_band_static(
-        nq, nk, bq, bk, shift, causal, window_left, window_right,
-        sink_token_length, attention_chunk,
-    )
+    if band_override is not None:
+        jmin_s, jmax_s = band_override
+        assert len(jmin_s) == nq and len(jmax_s) == nq, (nq, band_override)
+    else:
+        jmin_s, jmax_s = kv_band_static(
+            nq, nk, bq, bk, shift, causal, window_left, window_right,
+            sink_token_length, attention_chunk,
+        )
     band = PackedBand(jmin_s, jmax_s)
     bmask = band_mask_config(
         causal=causal, window_left=window_left, window_right=window_right,
