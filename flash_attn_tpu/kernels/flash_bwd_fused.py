@@ -571,6 +571,26 @@ def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
     # The (d, sk_pad) accumulators need a 128-multiple lane (KV) axis and
     # 8-multiple sublane (head) axis for the manual segment-flush DMA.
     aligned = sk_pad % 128 == 0 and d % 8 == 0 and dv_dim % 8 == 0
+    plain_causal = (
+        kw.get("causal", False) and sq <= sk
+        and not any(kw.get(x) for x in (
+            "alibi_slopes", "learnable_sink", "dropout_p", "softcap",
+            "attention_chunk", "sink_token_length", "score_mod",
+            "mask_mod", "aux_tensors", "strict_causal"))
+        and kw.get("window_size", (None, None)) == (None, None))
+    if (plain_causal and aligned and fits_vmem(sk_pad, d, dv_dim, bq)
+            and os.environ.get("FA_BWD_SPLIT", "0") == "1"):
+        # Split-edge causal backward (flash_bwd_split.py): maskless bulk
+        # over full tiles + masked diagonal edge, additive partial merge.
+        # Env-gated until validated faster on the target hardware.
+        from flash_attn_tpu.kernels.flash_bwd_split import (
+            flash_attention_bwd_split)
+
+        return flash_attention_bwd_split(
+            do, q, k, v, out, lse,
+            softmax_scale=kw.get("softmax_scale"),
+            block_q=kw.get("block_q"), block_k=kw.get("block_k"),
+            interpret=kw.get("interpret", False))
     if (d % 128 == 0 and dv_dim % 128 == 0 and sk_pad % 128 == 0
             and fits_vmem(sk_pad, d, dv_dim, bq)
             and os.environ.get("FA_BWD_PAIRED", "0") == "1"):

@@ -416,6 +416,30 @@ def flash_attention_fwd(
     nk = pl.cdiv(sk, bk)
     shift = sk - sq
 
+    import os
+    if (band_override is None and causal and sk >= sq
+            and os.environ.get("FA_FWD_SPLIT", "0") == "1"
+            and alibi_slopes is None and learnable_sink is None
+            and qv is None and dropout_p == 0.0 and q_descale is None
+            and softcap == 0.0 and window_left is None
+            and window_right is None and attention_chunk == 0
+            and sink_token_length == 0 and score_mod is None
+            and mask_mod is None and not strict_causal):
+        # Split-edge causal (flash_fwd_split.py): maskless bulk over full
+        # tiles + masked diagonal edge, merged by the combine algebra.
+        # Env-gated until validated faster on target hardware. Eligibility
+        # mirrors the split driver's fallback tests, so the recursive
+        # calls it makes (band_override set, or ineligible-plain) cannot
+        # re-enter this gate.
+        from flash_attn_tpu.kernels.flash_fwd_split import (
+            flash_attention_fwd_split, fwd_split_eligible)
+
+        if fwd_split_eligible(sq, sk, bq, bk):
+            out, lse = flash_attention_fwd_split(
+                q, k, v, softmax_scale=softmax_scale,
+                block_q=bq, block_k=bk, interpret=interpret)
+            return (out, lse) if return_lse else out
+
     group = h // h_k
 
     # Static packed band (dispatch/band.py): when the mask leaves the tile

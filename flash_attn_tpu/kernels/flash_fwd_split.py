@@ -39,6 +39,23 @@ from flash_attn_tpu.kernels.flash_fwd import _next_pow2, flash_attention_fwd
 NEG_INF = float("-inf")
 
 
+def fwd_split_eligible(sq: int, sk: int, block_q: int, block_k: int) -> bool:
+    """True when the split driver will NOT fall back to the standard
+    kernel: whole tiles (no boundary column mask in the bulk) and at least
+    one fully-below-diagonal tile. Must mirror the fallback tests in
+    flash_attention_fwd_split exactly — the FA_FWD_SPLIT gate in
+    flash_attention_fwd relies on it to avoid mutual recursion."""
+    if sq % block_q != 0 or sk % block_k != 0:
+        return False
+    shift = sk - sq
+    if shift < 0:
+        return False
+    nq = sq // block_q
+    nk = sk // block_k
+    full_last = max(0, min(((nq - 1) * block_q + shift + 1) // block_k, nk))
+    return full_last >= 1
+
+
 def split_bands(
     nq: int, nk: int, block_q: int, block_k: int, shift: int
 ) -> Tuple[Tuple[Tuple[int, ...], Tuple[int, ...]],
