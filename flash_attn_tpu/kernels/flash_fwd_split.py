@@ -26,15 +26,22 @@ blocks) are never written by the bulk kernel; their partial is zero-filled
 with lse=-inf so the combine reduces to the edge partial there.
 """
 
+import functools
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.band import kv_band_static
 from flash_attn_tpu.dispatch.config import get_fwd_config
 from flash_attn_tpu.kernels.flash_decode import combine_splits
 from flash_attn_tpu.kernels.flash_fwd import _next_pow2, flash_attention_fwd
+
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 NEG_INF = float("-inf")
 
@@ -147,6 +154,16 @@ def flash_attention_fwd_split(
     out_b, lse_b = flash_attention_fwd(
         q, k, v, softmax_scale=softmax_scale, causal=False,
         block_q=bq, block_k=bk, band_override=bulk, interpret=interpret)
+
+    if (ebq == bq and ebk == bk and bq % bk == 0 and shift % bq == 0):
+        # Fused diagonal-merge kernel: the edge region per q block is
+        # exactly the block_q columns ending at the diagonal, computed and
+        # merged with the bulk partial in ONE parallel launch — no edge
+        # partial materialization, no separate combine pass.
+        return _diag_merge(q, k, v, out_b, lse_b,
+                           softmax_scale=softmax_scale, block_q=bq,
+                           shift=shift, interpret=interpret)
+
     out_e, lse_e = flash_attention_fwd(
         q, k, v, softmax_scale=softmax_scale, causal=True,
         block_q=ebq, block_k=ebk, band_override=edge, interpret=interpret)
@@ -163,6 +180,103 @@ def flash_attention_fwd_split(
     lse_p = jnp.stack([lse_b, lse_e])
     out, lse = combine_splits(out_p, lse_p)
     return out.astype(q.dtype), lse
+
+
+def _diag_merge_kernel(q_ref, k_ref, v_ref, ob_ref, lb_ref, out_ref,
+                       lse_ref, *, block_q, scale_log2, n_empty, out_dtype):
+    """Diagonal tile + merge with the bulk partial, one parallel grid step
+    per (b, h, q block). The KV window is exactly the block_q columns
+    ending at the block's diagonal, so the causal mask is the CONSTANT
+    lower triangle (col_local <= row_local) — no absolute-position math.
+    No online-softmax carries: a single tile is a complete softmax, and
+    the bulk contribution merges by the combine algebra in the epilogue
+    (reference hopper/flash_fwd_combine_kernel.h, fused instead of a
+    separate pass)."""
+    i = pl.program_id(2)
+    q = q_ref[0, 0]  # (bq, d)
+    k = k_ref[0, 0]  # (bq, d)
+    v = v_ref[0, 0]  # (bq, dv)
+    qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
+    s2 = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
+    s2 = jnp.where(cols <= rows, s2, float("-inf"))
+    m_e = jnp.max(s2, axis=-1, keepdims=True)  # (bq, 1); always finite
+    p = jnp.exp2(s2 - m_e)
+    l_e = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # Merge with the bulk partial: out_b is normalized, lse_b natural-log.
+    # Rows of the first n_empty q blocks were never written by the bulk
+    # pass (uninitialized memory): select their contribution away BEFORE
+    # any arithmetic can propagate garbage/NaN.
+    lse_b2 = lb_ref[0, 0, 0].reshape(block_q, 1) * LOG2E
+    ob = ob_ref[0, 0].astype(jnp.float32)
+    live_b = jnp.full((block_q, 1), i >= n_empty)
+    lse_b2 = jnp.where(live_b, lse_b2, float("-inf"))
+    ob = jnp.where(live_b, ob, 0.0)
+    m_tot = jnp.maximum(m_e, lse_b2)
+    w_e = jnp.exp2(m_e - m_tot)
+    w_b = jnp.exp2(jnp.where(live_b, lse_b2 - m_tot, float("-inf")))
+    denom = l_e * w_e + w_b
+    out_ref[0, 0] = ((pv * w_e + ob * w_b) / denom).astype(out_dtype)
+    lse_ref[0, 0, 0] = (m_tot * LN2 + jnp.log(denom))[:, 0]
+
+
+def _diag_merge(q, k, v, out_b, lse_b, *, softmax_scale, block_q, shift,
+                interpret):
+    """Launch the diagonal-merge kernel. Requires block_q | shift (the KV
+    window index map moves in block_q units)."""
+    b, h, sq, d = q.shape
+    h_k = k.shape[1]
+    dv = v.shape[-1]
+    group = h // h_k
+    bq = block_q
+    nq = sq // bq
+    # Under the fused constraints bulk row i covers KV cols [0, i*bq+shift),
+    # which is empty iff i == 0 and shift == 0.
+    n_empty = 1 if shift == 0 else 0
+    koff = shift // bq
+
+    grid = (b, h, nq)
+    q_spec = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0))
+    k_spec = pl.BlockSpec(
+        (1, 1, bq, d), lambda b_, h_, i: (b_, h_ // group, i + koff, 0))
+    v_spec = pl.BlockSpec(
+        (1, 1, bq, dv), lambda b_, h_, i: (b_, h_ // group, i + koff, 0))
+    ob_spec = pl.BlockSpec((1, 1, bq, dv), lambda b_, h_, i: (b_, h_, i, 0))
+    lb_spec = pl.BlockSpec((1, 1, 1, bq), lambda b_, h_, i: (b_, h_, 0, i))
+    out_spec = pl.BlockSpec((1, 1, bq, dv), lambda b_, h_, i: (b_, h_, i, 0))
+    lse_spec = pl.BlockSpec((1, 1, 1, bq), lambda b_, h_, i: (b_, h_, 0, i))
+
+    kernel = functools.partial(
+        _diag_merge_kernel, block_q=bq, scale_log2=softmax_scale * LOG2E,
+        n_empty=n_empty, out_dtype=q.dtype)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, ob_spec, lb_spec],
+        out_specs=[out_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, dv), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * sq * bq * (d + dv) // 2,
+            bytes_accessed=2 * b * h * sq * (d + 2 * dv),
+            transcendentals=b * h * sq * bq // 2,
+        ),
+        interpret=interpret,
+    )(q, k, v, out_b, lse_b.reshape(b, h, 1, sq))
+    return out, lse[:, :, 0, :]
 
 
 def _rescale_edge(bq, bk, ebq, ebk, shift, sq, sk, nk):
