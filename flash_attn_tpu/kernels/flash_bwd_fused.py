@@ -573,10 +573,16 @@ def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
     aligned = sk_pad % 128 == 0 and d % 8 == 0 and dv_dim % 8 == 0
     plain_causal = (
         kw.get("causal", False) and sq <= sk
-        and not any(kw.get(x) for x in (
-            "alibi_slopes", "learnable_sink", "dropout_p", "softcap",
-            "attention_chunk", "sink_token_length", "score_mod",
-            "mask_mod", "aux_tensors", "strict_causal"))
+        and kw.get("alibi_slopes") is None
+        and kw.get("learnable_sink") is None
+        and not kw.get("dropout_p", 0.0)
+        and not kw.get("softcap", 0.0)
+        and not kw.get("attention_chunk", 0)
+        and not kw.get("sink_token_length", 0)
+        and kw.get("score_mod") is None
+        and kw.get("mask_mod") is None
+        and not kw.get("aux_tensors")
+        and not kw.get("strict_causal", False)
         and kw.get("window_size", (None, None)) == (None, None))
     if (plain_causal and aligned and fits_vmem(sk_pad, d, dv_dim, bq)
             and os.environ.get("FA_BWD_SPLIT", "0") == "1"):
