@@ -110,6 +110,37 @@ def fwd_paired(bq=None, bk=None, causal=True):
           f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
 
 
+def decode_serving(b=64, ctx=576, s_max=640):
+    """Time ONE decode-attention call at the 913M serving shape (slot
+    cache, bf16, non-paged) via an on-device fori_loop — isolates the
+    attention share of the engine's measured step time."""
+    from flash_attn_tpu import flash_attn_with_kvcache
+    h = h_k = 16
+    d = 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d), jnp.bfloat16)
+    kc = jax.random.normal(jax.random.PRNGKey(1), (b, h_k, s_max, d),
+                           jnp.bfloat16)
+    vc = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s_max, d),
+                           jnp.bfloat16)
+    seqlens = jnp.full((b,), ctx, jnp.int32)
+    N = 50
+
+    def steps(q):
+        def body(i, carry):
+            acc, q = carry
+            o = flash_attn_with_kvcache(q, kc, vc, cache_seqlens=seqlens,
+                                        causal=True)
+            return acc + o[0, 0, 0, 0].astype(jnp.float32), q + 1e-6
+        acc, _ = jax.lax.fori_loop(0, N, body, (jnp.float32(0), q))
+        return acc
+
+    t = bench_fn(jax.jit(steps), q, iters=3, warmup=1) / N
+    gb = 2 * b * h_k * ctx * d * 2 / 1e9  # K+V bf16 read per step
+    print(f"decode-attn serving b={b} ctx={ctx}: {t*1e3:.3f} ms/step, "
+          f"{gb/t:.0f} GB/s effective (16-layer extrapolation "
+          f"{16*t*1e3:.1f} ms)", flush=True)
+
+
 def fwd_split(bq=None, bk=None, ebq=None, ebk=None):
     from flash_attn_tpu.kernels.flash_fwd_split import (
         flash_attention_fwd_split)
@@ -172,6 +203,8 @@ if __name__ == "__main__":
         fwd_causal(bq, bk)
     if what == "fwdnc":
         fwd_noncausal()
+    if what == "dec":
+        decode_serving(b=bq or 64, ctx=bk or 576)
     if what == "fwds":
         ebq = int(sys.argv[4]) if len(sys.argv) > 4 else None
         ebk = int(sys.argv[5]) if len(sys.argv) > 5 else None
