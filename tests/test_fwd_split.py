@@ -94,6 +94,24 @@ def test_split_against_golden():
     check_against_ref(tr(out), ref, ref_lp, msg="split-edge causal fwd")
 
 
+@pytest.mark.parametrize("h_k,d,dv", [(1, 128, 128), (2, 128, 256),
+                                      (4, 256, 128)])
+def test_split_gqa_dv_crossings(h_k, d, dv):
+    """MQA/GQA and dv != d through both split passes and the diag merge."""
+    sq = sk = 512
+    key = jax.random.PRNGKey(hash((h_k, d, dv)) % 2**31)
+    q, k, v = _qkv(key, 1, 4, h_k, sq, sk, d, dv=dv)
+    out_s, lse_s = flash_attention_fwd_split(
+        q, k, v, block_q=128, block_k=128, interpret=True)
+    out_r, lse_r = flash_attention_fwd(
+        q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_s, np.float32), np.asarray(out_r, np.float32),
+        atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(lse_s), np.asarray(lse_r),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_split_fallback_partial_blocks():
     """Non-divisible seqlens route to the standard kernel (still correct)."""
     q, k, v = _qkv(jax.random.PRNGKey(5), 1, 2, 2, 384, 384, 64)
