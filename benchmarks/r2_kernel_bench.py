@@ -209,6 +209,19 @@ if __name__ == "__main__":
         ebq = int(sys.argv[4]) if len(sys.argv) > 4 else None
         ebk = int(sys.argv[5]) if len(sys.argv) > 5 else None
         fwd_split(bq, bk, ebq, ebk)
+    if what == "fwdsp":
+        from flash_attn_tpu.kernels.flash_fwd_split import (
+            flash_attention_fwd_split_paired)
+        b, h, s, d = 4, 16, 8192, 128
+        q, k, v = make_qkv(b, h, s, d)
+        tr = lambda x: jnp.swapaxes(x, 1, 2)
+        q, k, v = tr(q), tr(k), tr(v)
+        fn = jax.jit(lambda q, k, v: flash_attention_fwd_split_paired(
+            q, k, v, block_q=bq, block_k=bk)[0])
+        t = bench_fn(fn, q, k, v)
+        tf = 4.0 * b * h * s * s * d / 2 / t / 1e12
+        print(f"fwd SPLIT+PAIRED causal seq8k bq={bq} bk={bk}: "
+              f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
     if what == "fwdp":
         fwd_paired(bq, bk)
     if what == "fwdpnc":

@@ -242,7 +242,7 @@ def _fwd_paired_kernel(*refs, band: PackedBandEven, block_q, block_k,
     static_argnames=(
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
-        "interpret", "dropout_p", "strict_causal",
+        "interpret", "dropout_p", "strict_causal", "band_override",
     ),
 )
 def flash_attention_fwd_paired(
@@ -267,6 +267,9 @@ def flash_attention_fwd_paired(
     block_k: Optional[int] = None,
     interpret: bool = False,
     strict_causal: bool = False,
+    band_override=None,  # ((j_min,...), (j_max,...)) custom per-q-block KV
+    # band; rows with j_max < j_min are EMPTY (out/lse never written —
+    # callers must overwrite/mask them). Used by the split-edge driver.
 ):
     """Paired-tile forward; bshd in/out. Returns (out, lse) with lse
     (b, h, sq) fp32 natural-log — same contract as flash_attention_fwd
@@ -292,10 +295,14 @@ def flash_attention_fwd_paired(
     nk = pl.cdiv(sk, bk)
     shift = sk - sq
 
-    jmin_s, jmax_s = kv_band_static(
-        nq, nk, bq, bk, shift, causal, window_left, window_right,
-        sink_token_length, attention_chunk,
-    )
+    if band_override is not None:
+        jmin_s, jmax_s = band_override
+        assert len(jmin_s) == nq and len(jmax_s) == nq, (nq, band_override)
+    else:
+        jmin_s, jmax_s = kv_band_static(
+            nq, nk, bq, bk, shift, causal, window_left, window_right,
+            sink_token_length, attention_chunk,
+        )
     band = PackedBandEven(jmin_s, jmax_s)
     bmask = band_mask_config(
         causal=causal, window_left=window_left, window_right=window_right,
