@@ -155,7 +155,7 @@ def fwd_split(bq=None, bk=None, ebq=None, ebk=None):
           f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
 
 
-def bwd_split(bq=None, bk=None, s=4096):
+def bwd_split(bq=None, bk=None, s=4096, paired_bulk=False):
     from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
     from flash_attn_tpu.kernels.flash_bwd_split import (
         flash_attention_bwd_split)
@@ -167,11 +167,12 @@ def bwd_split(bq=None, bk=None, s=4096):
     tr = lambda x: jnp.swapaxes(x, 1, 2)
     do, q, k, v, out = tr(do), tr(q), tr(k), tr(v), tr(out)
     fn = jax.jit(lambda do, q, k, v, out, lse: flash_attention_bwd_split(
-        do, q, k, v, out, lse, block_q=bq, block_k=bk)[0])
+        do, q, k, v, out, lse, block_q=bq, block_k=bk,
+        paired_bulk=paired_bulk)[0])
     t = bench_fn(fn, do, q, k, v, out, lse)
     tf = 2.5 * 4.0 * b * h * s * s * d / 2 / t / 1e12
-    print(f"bwd SPLIT seq{s} bq={bq} bk={bk}: {tf:.1f} TF/s "
-          f"({t*1e3:.2f} ms)", flush=True)
+    print(f"bwd SPLIT{'+PAIRED' if paired_bulk else ''} seq{s} "
+          f"bq={bq} bk={bk}: {tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
 
 
 def bwd_paired(bq=None, bk=None, causal=True, s=4096):
@@ -228,6 +229,8 @@ if __name__ == "__main__":
         fwd_paired(bq, bk, causal=False)
     if what == "bwds":
         bwd_split(bq, bk)
+    if what == "bwdsp":
+        bwd_split(bq, bk, paired_bulk=True)
     if what == "bwdp":
         bwd_paired(bq, bk)
     if what == "bwdpnc":

@@ -240,6 +240,7 @@ def _bwd_paired_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         "softmax_scale", "causal", "window_size", "softcap",
         "attention_chunk", "sink_token_length", "block_q", "block_k",
         "interpret", "dropout_p", "score_mod", "mask_mod", "strict_causal",
+        "band_override",
     ),
 )
 def flash_attention_bwd_paired(
@@ -266,6 +267,9 @@ def flash_attention_bwd_paired(
     aux_tensors=None,
     interpret: bool = False,
     strict_causal: bool = False,
+    band_override=None,  # ((j_min,...), (j_max,...)); empty rows allowed
+    # (j_max < j_min): their dQ rows are never written — callers must
+    # overwrite them (split-edge driver, flash_bwd_split.py).
 ):
     """Paired-tile twin of flash_bwd_fused.flash_attention_bwd_fused.
 
@@ -295,10 +299,14 @@ def flash_attention_bwd_paired(
     sk_pad = nk * bk
     sq_pad = nq * bq
 
-    jmin_s, jmax_s = kv_band_static(
-        nq, nk, bq, bk, shift, causal, window_left, window_right,
-        sink_token_length, attention_chunk,
-    )
+    if band_override is not None:
+        jmin_s, jmax_s = band_override
+        assert len(jmin_s) == nq and len(jmax_s) == nq, (nq, band_override)
+    else:
+        jmin_s, jmax_s = kv_band_static(
+            nq, nk, bq, bk, shift, causal, window_left, window_right,
+            sink_token_length, attention_chunk,
+        )
     band = PackedBand(jmin_s, jmax_s)
     bmask = band_mask_config(
         causal=causal, window_left=window_left, window_right=window_right,
