@@ -33,6 +33,7 @@ if [[ "$phase" == all || "$phase" == split ]]; then
   run 900 "fwd split default"     python benchmarks/r2_kernel_bench.py fwds
   run 900 "bwd split default"     python benchmarks/r2_kernel_bench.py bwds
   run 900 "fwd split+paired"      python benchmarks/r2_kernel_bench.py fwdsp
+  run 900 "bwd split+paired"      python benchmarks/r2_kernel_bench.py bwdsp
   run 900 "decode-attn serving"   python benchmarks/r2_kernel_bench.py dec
 fi
 
