@@ -53,7 +53,8 @@ if [[ "$phase" == all || "$phase" == bench ]]; then
 fi
 
 if [[ "$phase" == serving ]]; then
-  run 1800 "serving 1b b=128" python benchmarks/serving_bench.py 1b 128 16
+  run 1800 "serving 1b b=128"     python benchmarks/serving_bench.py 1b 128 16
+  run 1800 "serving 1b b=128 fp8" python benchmarks/serving_bench.py 1b 128 16 fp8
 fi
 
 echo "SESSION DONE $(date +%H:%M:%S)" | tee -a "$LOG"

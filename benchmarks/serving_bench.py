@@ -24,13 +24,14 @@ from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
 _fetch = jax.jit(lambda r: jnp.sum(r.astype(jnp.float32)))
 
 
-def config(size: str, max_decode: int) -> GPTConfig:
+def config(size: str, max_decode: int, kv_dtype=None) -> GPTConfig:
     if size == "1b":
         return GPTConfig(
             vocab_size=50304, n_positions=0, n_embd=2048, n_layer=16,
             n_head=16, n_head_kv=16, rotary_emb_fraction=1.0,
             use_rms_norm=True, glu_act=True, tie_word_embeddings=True,
-            max_decode_seqlen=max_decode, dtype=jnp.bfloat16,
+            max_decode_seqlen=max_decode, kv_cache_dtype=kv_dtype,
+            dtype=jnp.bfloat16,
         )
     return GPTConfig(
         vocab_size=1024, n_positions=0, n_embd=256, n_layer=4, n_head=8,
@@ -47,15 +48,21 @@ def main():
     # chunks write disjoint slot ranges of one shared B-slot cache
     # (slot-mapped prefill, same path the continuous-batching engine uses).
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    # arg 4 = "fp8": store the decode KV cache in float8_e4m3fn (halves the
+    # per-step cache read traffic, the decode throughput bound)
+    kv_dtype = (jnp.float8_e4m3fn
+                if len(sys.argv) > 4 and sys.argv[4] == "fp8" else None)
     prompt_len, gen_len = 512, 64
-    cfg = config(size, prompt_len + gen_len + 8)
+    cfg = config(size, prompt_len + gen_len + 8, kv_dtype)
     model = GPTLMHeadModel(cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (b, prompt_len), 0,
                              cfg.vocab_size)
     params = model.init(jax.random.PRNGKey(1), ids[:, :8])["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model={size} params={n_params/1e6:.1f}M batch={b} "
-          f"prompt={prompt_len} prefill_chunk={chunk or b}", flush=True)
+          f"prompt={prompt_len} prefill_chunk={chunk or b} "
+          f"kv_cache={'fp8' if kv_dtype is not None else 'bf16'}",
+          flush=True)
 
     @jax.jit
     def prefill(params, ids):

@@ -66,6 +66,10 @@ class GPTConfig:
     max_decode_seqlen: int = 2048
     paged_kv_num_pages: int = 0   # >0: paged decode cache via page pool
     paged_kv_page_size: int = 128
+    # Quantized KV cache (FA3 fp8 kvcache parity): e.g. jnp.float8_e4m3fn.
+    # Halves decode-path cache reads — the serving throughput bottleneck.
+    kv_cache_dtype: Optional[jnp.dtype] = None
+    kv_cache_scale: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -115,6 +119,8 @@ def _mixer_factory(cfg: GPTConfig):
         max_decode_seqlen=cfg.max_decode_seqlen,
         paged_kv_num_pages=cfg.paged_kv_num_pages,
         paged_kv_page_size=cfg.paged_kv_page_size,
+        kv_cache_dtype=cfg.kv_cache_dtype,
+        kv_cache_scale=cfg.kv_cache_scale,
         dtype=cfg.dtype,
         name="mixer",
     )

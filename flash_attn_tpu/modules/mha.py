@@ -93,6 +93,14 @@ class MHA(nn.Module):
     max_decode_seqlen: int = 2048  # cache allocation length
     paged_kv_num_pages: int = 0    # >0: paged decode cache (page pool)
     paged_kv_page_size: int = 128
+    # Quantized KV cache (reference FA3 fp8 kvcache, hopper/flash_api.cpp
+    # descale args): store K/V in this dtype (e.g. jnp.float8_e4m3fn) and
+    # attend with per-(batch, kv-head) descales. Values are stored as
+    # x / kv_cache_scale; at bf16-activation magnitudes the default 1.0
+    # keeps e4m3's ±448 range with ~2^-3 relative precision. Decode-path
+    # HBM traffic (the serving bottleneck) halves vs bf16.
+    kv_cache_dtype: Optional[jnp.dtype] = None
+    kv_cache_scale: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -187,6 +195,14 @@ class MHA(nn.Module):
                                        self.rotary_emb_interleaved)
 
             paged = self.paged_kv_num_pages > 0
+            cache_dtype = self.kv_cache_dtype or self.dtype
+            quant = self.kv_cache_dtype is not None
+
+            def _descales(rows):
+                if not quant:
+                    return None, None
+                s_ = jnp.full((rows, h_k), self.kv_cache_scale, jnp.float32)
+                return s_, s_
 
             def _cache_shape():
                 if paged:
@@ -204,14 +220,22 @@ class MHA(nn.Module):
             if decode:
                 # incremental decoding against the cache collection
                 kcache = self.variable(
-                    "cache", "k", lambda: jnp.zeros(_cache_shape(), self.dtype))
+                    "cache", "k",
+                    lambda: jnp.zeros(_cache_shape(), cache_dtype))
                 vcache = self.variable(
-                    "cache", "v", lambda: jnp.zeros(_cache_shape(), self.dtype))
+                    "cache", "v",
+                    lambda: jnp.zeros(_cache_shape(), cache_dtype))
                 offset = self.variable(
                     "cache", "offset", lambda: jnp.zeros((b,), jnp.int32))
                 cos = sin = None
                 if rope is not None:
                     cos, sin = rope.cos_sin(self.max_decode_seqlen)
+                kd, vd = _descales(b)  # per (query-batch row, kv head)
+                if quant and self.kv_cache_scale != 1.0:
+                    # store x / scale; rotation is linear so pre-dividing
+                    # commutes with the in-call rotary on the appended keys
+                    k = k / self.kv_cache_scale
+                    v = v / self.kv_cache_scale
                 out, k_new, v_new = flash_attn_with_kvcache(
                     q, kcache.value, vcache.value, k=k, v=v,
                     rotary_cos=cos, rotary_sin=sin,
@@ -220,6 +244,7 @@ class MHA(nn.Module):
                     block_table=block_table,
                     window_size=self.window_size, softcap=self.softcap,
                     softmax_scale=self.softmax_scale, alibi_slopes=slopes,
+                    k_descale=kd, v_descale=vd,
                 )
                 kcache.value = k_new
                 vcache.value = v_new
@@ -250,9 +275,9 @@ class MHA(nn.Module):
                         s_alloc = -(-self.max_decode_seqlen // 128) * 128
                         shape = (b, h_k, s_alloc, d)
                     kcache = self.variable(
-                        "cache", "k", lambda: jnp.zeros(shape, self.dtype))
+                        "cache", "k", lambda: jnp.zeros(shape, cache_dtype))
                     vcache = self.variable(
-                        "cache", "v", lambda: jnp.zeros(shape, self.dtype))
+                        "cache", "v", lambda: jnp.zeros(shape, cache_dtype))
                     if paged:
                         n_slots = (block_table.shape[0]
                                    if block_table is not None else b)
@@ -269,9 +294,13 @@ class MHA(nn.Module):
                         assert block_table is not None
                         bt = (block_table if slot_ids is None
                               else block_table[slot_ids])
+                    k_st, v_st = k, v
+                    if quant and self.kv_cache_scale != 1.0:
+                        k_st = k / self.kv_cache_scale
+                        v_st = v / self.kv_cache_scale
                     k_new, v_new = kv_cache_update(
-                        kcache.value, vcache.value, k, v, write_offsets,
-                        block_table=bt,
+                        kcache.value, vcache.value, k_st, v_st,
+                        write_offsets, block_table=bt,
                         cache_batch_idx=None if paged else slot_ids)
                     kcache.value = k_new
                     vcache.value = v_new

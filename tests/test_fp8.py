@@ -93,3 +93,43 @@ def test_quantized_kvcache_decode(cache_dtype):
         causal=True, upcast=False, reorder_ops=True)
     check_against_ref(out, ref, ref_lp, mult=4.0, atol=5e-3,
                       msg=f"{cache_dtype} kvcache")
+
+
+@pytest.mark.parametrize("scale", [1.0, 2.0])
+def test_model_fp8_kv_cache_decode(scale):
+    """Model-level fp8 KV cache (GPTConfig.kv_cache_dtype): prefill+decode
+    logits track the bf16-cache run (storage quantization is the only
+    difference; e4m3 has ~2^-3 relative precision)."""
+    from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+
+    def run(kv_dtype):
+        cfg = GPTConfig(
+            vocab_size=512, n_positions=0, n_embd=128, n_layer=2, n_head=4,
+            rotary_emb_fraction=1.0, use_rms_norm=True,
+            max_decode_seqlen=160, kv_cache_dtype=kv_dtype,
+            kv_cache_scale=scale if kv_dtype is not None else 1.0,
+            dtype=jnp.bfloat16)
+        model = GPTLMHeadModel(cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(0), (2, 64), 0, 512)
+        params = model.init(jax.random.PRNGKey(1), ids[:, :8])["params"]
+        logits, state = model.apply(
+            {"params": params}, ids, mode="prefill", mutable=["cache"])
+        cache = state["cache"]
+        outs = [logits[:, -1]]
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        for _ in range(4):
+            logits, state = model.apply(
+                {"params": params, "cache": cache}, tok[:, None],
+                mode="decode", mutable=["cache"])
+            cache = state["cache"]
+            outs.append(logits[:, -1])
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        return [np.asarray(o, np.float32) for o in outs]
+
+    ref = run(None)
+    fp8 = run(FP8)
+    for i, (r, f) in enumerate(zip(ref, fp8)):
+        # top-1 agreement and bounded logit drift
+        assert (r.argmax(-1) == f.argmax(-1)).mean() >= 0.9, i
+        rel = np.abs(r - f).max() / (np.abs(r).max() + 1e-6)
+        assert rel < 0.15, (i, rel)
