@@ -15,6 +15,36 @@ from typing import Optional, Tuple
 # Overridable via tpu_spec() for other generations.
 DEFAULT_VMEM_BUDGET = 96 * 1024 * 1024  # leave headroom below the 128MiB cap
 
+# Mosaic's scoped-VMEM (kernel stack) budget. Large score tiles put
+# block_q x block_k fp32 temporaries on the stack; past the default 16 MiB
+# limit the kernel must raise CompilerParams.vmem_limit_bytes instead of
+# shrinking tiles (measured on v5e: (2048,1024) stacks 16.64M, (2048,2048)
+# 24.35M — r2_session.log scoped-OOM sizes).
+SCOPED_VMEM_DEFAULT = 16 * 1024 * 1024
+SCOPED_VMEM_CAP = 112 * 1024 * 1024  # stay below the ~128 MiB physical VMEM
+
+
+def scoped_vmem_limit(rows: int, cols: int, n_f32_temps: int = 1):
+    """``vmem_limit_bytes`` for ``pltpu.CompilerParams`` given the dominant
+    fp32 temporaries of shape (rows, cols) on the kernel stack.
+
+    Returns None while the temporaries fit the default limit alongside the
+    ~8 MiB of double-buffered pipeline blocks (keeping the compiler's
+    default behavior on the tuned hot configs), else a raised limit with 2x
+    headroom capped below physical VMEM. Configs for which even the raised
+    cap is insufficient must be rejected by the caller (scoped_vmem_ok).
+    """
+    temps = n_f32_temps * rows * cols * 4
+    if temps <= SCOPED_VMEM_DEFAULT // 2:
+        return None
+    return min(SCOPED_VMEM_CAP, 2 * temps + SCOPED_VMEM_DEFAULT)
+
+
+def scoped_vmem_ok(rows: int, cols: int, n_f32_temps: int = 1) -> bool:
+    """True when (rows, cols) fp32 stack temporaries fit under the raised
+    scoped-VMEM cap — the eligibility-side mirror of scoped_vmem_limit."""
+    return n_f32_temps * rows * cols * 4 + SCOPED_VMEM_DEFAULT <= SCOPED_VMEM_CAP
+
 
 @dataclasses.dataclass(frozen=True)
 class FwdConfig:

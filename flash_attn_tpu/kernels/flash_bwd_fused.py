@@ -585,10 +585,13 @@ def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
         and not kw.get("strict_causal", False)
         and kw.get("window_size", (None, None)) == (None, None))
     if (plain_causal and aligned and fits_vmem(sk_pad, d, dv_dim, bq)
-            and os.environ.get("FA_BWD_SPLIT", "0") == "1"):
+            and os.environ.get("FA_BWD_SPLIT", "1") == "1"):
         # Split-edge causal backward (flash_bwd_split.py): maskless bulk
         # over full tiles + masked diagonal edge, additive partial merge.
-        # Env-gated until validated faster on the target hardware.
+        # DEFAULT-ON since round 3: measured 95.3 vs 87.1 TF/s on v5e
+        # (benchmarks/r2_session.log); FA_BWD_SPLIT=0 restores the fused
+        # single-launch kernel. The driver falls back internally on
+        # ineligible shapes (partial tiles, scoped-VMEM-bound configs).
         from flash_attn_tpu.kernels.flash_bwd_split import (
             flash_attention_bwd_split)
 

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attn_tpu.dispatch.config import get_bwd_config
+from flash_attn_tpu.dispatch.config import (
+    get_bwd_config,
+    scoped_vmem_limit,
+    scoped_vmem_ok,
+)
 from flash_attn_tpu.kernels.flash_bwd import _next_pow2
 from flash_attn_tpu.kernels.flash_bwd_fused import (
     fits_vmem,
@@ -61,8 +65,12 @@ def flash_attention_bwd_split(
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
 
+    # Split-specific default tiles: the maskless bulk prefers a taller q
+    # tile than the fused kernel's (512, 512) — measured on v5e seq4k
+    # causal d128: (1024,512) 94.9/95.3 TF/s > (512,512) 94.0 > (1024,1024)
+    # 86.9 (benchmarks/r2_session.log).
     cfg = get_bwd_config(d, dv_dim, sq, sk, True)
-    bq = min(block_q or cfg.block_q, _next_pow2(sq))
+    bq = min(block_q or max(cfg.block_q, 1024), _next_pow2(sq))
     bk = min(block_k or cfg.block_k, _next_pow2(sk))
 
     def fallback():
@@ -73,6 +81,8 @@ def flash_attention_bwd_split(
 
     if sq % bq != 0 or sk % bk != 0:
         return fallback()  # boundary masks break the maskless-bulk premise
+    if not (scoped_vmem_ok(bq, bk) and scoped_vmem_ok(bq, bq, 2)):
+        return fallback()  # score temporaries past the scoped-VMEM cap
     nq, nk = sq // bq, sk // bk
     bulk, edge, n_empty = split_bands(nq, nk, bq, bk, shift)
     if bulk[1][-1] < 0:  # no full tiles at all
@@ -262,6 +272,9 @@ def _bwd_diag_merge(do, q, k, v, lse, delta, dq_b, dk_b, dv_b, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            # ~2 live (bq, bq) fp32 temporaries (s2/p + dp/ds) on the
+            # kernel stack — 31.64M measured at bq=2048 (r2_session.log)
+            vmem_limit_bytes=scoped_vmem_limit(bq, bq, 2),
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * b * h * sq * bq * d // 2,
@@ -284,6 +297,8 @@ def _bwd_diag_merge(do, q, k, v, lse, delta, dq_b, dk_b, dv_b, *,
 def split_eligible(sq: int, sk: int, d: int, dv_dim: int, bq: int,
                    bk: int) -> bool:
     """The split path applies on the plain causal hot path with whole
-    tiles and VMEM-resident accumulators (same bound as the fused path)."""
+    tiles, VMEM-resident accumulators (same bound as the fused path), and
+    score temporaries under the raised scoped-VMEM cap."""
     return (sq % bq == 0 and sk % bk == 0
-            and fits_vmem((sk // bk) * bk, d, dv_dim, bq))
+            and fits_vmem((sk // bk) * bk, d, dv_dim, bq)
+            and scoped_vmem_ok(bq, bk) and scoped_vmem_ok(bq, bq, 2))

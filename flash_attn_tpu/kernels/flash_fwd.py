@@ -34,7 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.band import PackedBand, kv_band_static
 from flash_attn_tpu.dispatch.bandmask import BandMaskCfg, band_mask_config
-from flash_attn_tpu.dispatch.config import get_fwd_config, normalize_window
+from flash_attn_tpu.dispatch.config import (
+    get_fwd_config,
+    normalize_window,
+    scoped_vmem_limit,
+)
 from flash_attn_tpu.kernels.dropout_rng import dropout_keep
 
 LOG2E = math.log2(math.e)
@@ -418,7 +422,7 @@ def flash_attention_fwd(
 
     import os
     if (band_override is None and causal and sk >= sq
-            and os.environ.get("FA_FWD_SPLIT", "0") == "1"
+            and os.environ.get("FA_FWD_SPLIT", "1") == "1"
             and alibi_slopes is None and learnable_sink is None
             and qv is None and dropout_p == 0.0 and q_descale is None
             and softcap == 0.0 and window_left is None
@@ -427,10 +431,12 @@ def flash_attention_fwd(
             and mask_mod is None and not strict_causal):
         # Split-edge causal (flash_fwd_split.py): maskless bulk over full
         # tiles + masked diagonal edge, merged by the combine algebra.
-        # Env-gated until validated faster on target hardware. Eligibility
-        # mirrors the split driver's fallback tests, so the recursive
-        # calls it makes (band_override set, or ineligible-plain) cannot
-        # re-enter this gate.
+        # DEFAULT-ON since round 3: measured 105.5 vs 100.4 TF/s on v5e
+        # (benchmarks/r2_session.log); FA_FWD_SPLIT=0 restores the
+        # single-launch causal kernel. Eligibility mirrors the split
+        # driver's fallback tests, so the recursive calls it makes
+        # (band_override set, or ineligible-plain) cannot re-enter this
+        # gate.
         from flash_attn_tpu.kernels.flash_fwd_split import (
             flash_attention_fwd_split, fwd_split_eligible)
 
@@ -617,9 +623,13 @@ def flash_attention_fwd(
             dimension_semantics=(
                 ("parallel", "parallel", "arbitrary") if band is not None
                 else ("parallel", "parallel", "parallel", "arbitrary")),
-            # the resident additive band mask rides in scoped VMEM; the
-            # default 16 MiB limit rejects larger tiles (v5e has ~128 MiB)
-            vmem_limit_bytes=100 * 1024 * 1024 if bmask is not None else None,
+            # the resident additive band mask and the (bq, bk) fp32 score
+            # temporaries ride in scoped VMEM; the default 16 MiB limit
+            # rejects larger tiles (v5e has ~128 MiB)
+            # 2 concurrently-live (bq, bk) fp32 temps (scores + exp),
+            # measured 16.64M at (2048, 1024) — r2_session.log
+            vmem_limit_bytes=(100 * 1024 * 1024 if bmask is not None
+                              else scoped_vmem_limit(bq, bk, 2)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * sq * sk * (d + dv) // (2 if causal else 1),

@@ -36,7 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.band import kv_band_static
-from flash_attn_tpu.dispatch.config import get_fwd_config
+from flash_attn_tpu.dispatch.config import (
+    get_fwd_config,
+    scoped_vmem_limit,
+    scoped_vmem_ok,
+)
 from flash_attn_tpu.kernels.flash_decode import combine_splits
 from flash_attn_tpu.kernels.flash_fwd import _next_pow2, flash_attention_fwd
 
@@ -48,11 +52,16 @@ NEG_INF = float("-inf")
 
 def fwd_split_eligible(sq: int, sk: int, block_q: int, block_k: int) -> bool:
     """True when the split driver will NOT fall back to the standard
-    kernel: whole tiles (no boundary column mask in the bulk) and at least
-    one fully-below-diagonal tile. Must mirror the fallback tests in
+    kernel: whole tiles (no boundary column mask in the bulk), at least
+    one fully-below-diagonal tile, and both passes' score temporaries fit
+    under the raised scoped-VMEM cap (bulk at (bq, bk); diag-merge edge at
+    (bq, bq) — r2_session.log OOMs). Must mirror the fallback tests in
     flash_attention_fwd_split exactly — the FA_FWD_SPLIT gate in
     flash_attention_fwd relies on it to avoid mutual recursion."""
     if sq % block_q != 0 or sk % block_k != 0:
+        return False
+    if not (scoped_vmem_ok(block_q, block_k, 2)
+            and scoped_vmem_ok(block_q, block_q, 2)):
         return False
     shift = sk - sq
     if shift < 0:
@@ -268,6 +277,8 @@ def _diag_merge(q, k, v, out_b, lse_b, *, softmax_scale, block_q, shift,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # (bq, bq) fp32 score temporaries on the kernel stack
+            vmem_limit_bytes=scoped_vmem_limit(bq, bq, 2),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * sq * bq * (d + dv) // 2,
@@ -388,6 +399,7 @@ def flash_attention_fwd_split_paired(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=scoped_vmem_limit(bq, bq, 2),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * sq * bq * (d + dv) // 2,
