@@ -117,7 +117,7 @@ def bench_bwd(peak):
     # vjp runs: bwd dispatch + input-dtype casts.
     from flash_attn_tpu.kernels.flash_bwd_fused import flash_attention_bwd_auto
 
-    out, lse = flash_attn_func(q, k, v, causal=True, return_attn_probs=True)
+    out, lse, _ = flash_attn_func(q, k, v, causal=True, return_attn_probs=True)
     do = jnp.ones_like(out)
 
     def bwd_only(do, q, k, v, out, lse):

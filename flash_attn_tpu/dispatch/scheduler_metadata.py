@@ -42,9 +42,12 @@ def get_scheduler_metadata(
     headdim_v: Optional[int] = None,
 ) -> SchedulerMetadata:
     """Device-computed varlen tile schedule (bands + per-token segment
-    vectors). Pass nothing downstream yet — the varlen kernels currently
-    recompute this inline (cheap, fused); this API exists for parity and for
-    callers that want to inspect/reuse the schedule."""
+    vectors). Pass the result to ``flash_attn_varlen_func(...,
+    scheduler_metadata=)`` to skip the per-call metadata recompute — the
+    varlen kernel consumes it directly (kernels/flash_varlen.py, the
+    analogue of the reference's ``skip_scheduler_metadata_computation``
+    reuse, hopper/flash_api.cpp:1004). Block sizes in the returned
+    metadata must match the kernel call's (the interface validates)."""
     headdim_v = headdim_v or headdim
     window = normalize_window(tuple(window_size))
     cfg = get_fwd_config(headdim, headdim_v, max_seqlen_q, max_seqlen_k,

@@ -38,6 +38,58 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _reconstruct_s_dmask(q, k, lse, *, softmax_scale, causal, window_size,
+                         softcap, attention_chunk, sink_token_length,
+                         alibi_slopes, dropout_p, dropout_seed):
+    """(b, h, sq, sk) fp32 attention probabilities for
+    ``return_attn_probs`` — the reference's S_dmask contract
+    (flash_attn/flash_attn_interface.py:828-914): testing-only, post-softmax,
+    with DROPPED entries negated when dropout is active (tests recover
+    probs = abs(S_dmask) and keep-mask = S_dmask >= 0).
+
+    Rows are normalized by the KERNEL's lse (not an independent softmax),
+    so every row reproduces the kernel's own normalization; the dropout
+    sign pattern replays the kernel's counter-hash RNG exactly
+    (kernels/dropout_rng.dropout_keep, same seed and global coordinates).
+    """
+    from flash_attn_tpu.kernels.dropout_rng import dropout_mask_reference
+    from flash_attn_tpu.utils.testing import (
+        construct_chunk_mask,
+        construct_local_mask,
+    )
+
+    b, sq, h, _ = q.shape
+    sk = k.shape[1]
+    g = h // k.shape[2]
+    kf = jnp.repeat(k.astype(jnp.float32), g, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts",
+                        q.astype(jnp.float32) * softmax_scale, kf)
+    if softcap > 0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    if alibi_slopes is not None:
+        from flash_attn_tpu.utils.testing import attn_bias_from_alibi_slopes
+        scores = scores + attn_bias_from_alibi_slopes(
+            alibi_slopes, sq, sk, causal=causal)
+    ws = (window_size[0], 0) if causal else window_size
+    neg_inf = jnp.float32(float("-inf"))
+    if ws[0] is not None or ws[1] is not None:
+        scores = jnp.where(
+            construct_local_mask(sq, sk, ws, sink_token_length, None, None),
+            neg_inf, scores)
+    if attention_chunk > 0:
+        scores = jnp.where(
+            construct_chunk_mask(sq, sk, attention_chunk, None, None),
+            neg_inf, scores)
+    lse_safe = jnp.where(jnp.isfinite(lse), lse, 0.0)[..., None]
+    probs = jnp.exp(scores - lse_safe)
+    probs = jnp.where(jnp.isfinite(scores), probs, 0.0)
+    probs = jnp.where(jnp.isfinite(lse)[..., None], probs, 0.0)
+    if dropout_p > 0.0:
+        keep = dropout_mask_reference(dropout_seed, b, h, sq, sk, dropout_p)
+        probs = jnp.where(keep, probs, -probs)
+    return probs
+
+
 # Differentiable core: closed over static config via functools.partial at
 # custom_vjp boundary.
 @functools.partial(
@@ -198,8 +250,13 @@ def flash_attn_func(
         v: (batch, seqlen_k, nheads_k, head_dim_v)
         alibi_slopes: (nheads,) or (batch, nheads) fp32
     Returns:
-        out: (batch, seqlen_q, nheads, head_dim_v); if return_attn_probs, the
-        tuple (out, softmax_lse) with lse of shape (batch, nheads, seqlen_q).
+        out: (batch, seqlen_q, nheads, head_dim_v); if return_attn_probs,
+        the tuple (out, softmax_lse, S_dmask) — lse (batch, nheads,
+        seqlen_q) fp32, S_dmask (batch, nheads, seqlen_q, seqlen_k) fp32
+        post-softmax probabilities normalized by the kernel's lse, dropped
+        entries negated when dropout_p > 0 (testing-only, the reference's
+        contract: flash_attn/flash_attn_interface.py:879); None on the
+        flex (score_mod/mask_mod) and fp8/qv paths.
     """
     dropout_seed = None
     if dropout_p > 0.0:
@@ -235,7 +292,7 @@ def flash_attn_func(
                 sink_token_length=sink_token_length,
                 interpret=_use_interpret(),
             )
-            return (out, lse) if return_attn_probs else out
+            return (out, lse, None) if return_attn_probs else out
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
         out_t, lse = flash_attention_fwd(
             qt, kt, vt, alibi_slopes=alibi_slopes,
@@ -248,7 +305,7 @@ def flash_attn_func(
             sink_token_length=sink_token_length, interpret=_use_interpret(),
         )
         out = jnp.swapaxes(out_t, 1, 2)
-        return (out, lse) if return_attn_probs else out
+        return (out, lse, None) if return_attn_probs else out
     out, lse = _flash_attn(
         q, k, v, alibi_slopes, learnable_sink, dropout_seed,
         tuple(aux_tensors) if aux_tensors else (),
@@ -257,10 +314,21 @@ def flash_attn_func(
         score_mod, mask_mod,
     )
     if return_attn_probs:
-        # The reference returns (out, lse, S_dmask); the dropout mask is
-        # reconstructable via kernels.dropout_rng.dropout_mask_reference.
-        # lse rides out of the same custom_vjp call (no second forward).
-        return out, lse
+        # Reference contract: (out, lse, S_dmask)
+        # (flash_attn/flash_attn_interface.py:879). lse rides out of the
+        # same custom_vjp call (no second forward); S_dmask is a testing-
+        # only full-matrix reconstruction normalized by the kernel's lse.
+        if score_mod is not None or mask_mod is not None:
+            s_dmask = None  # flex hooks have no S_dmask analogue
+        else:
+            s_dmask = _reconstruct_s_dmask(
+                q, k, lse, softmax_scale=softmax_scale, causal=causal,
+                window_size=window_size, softcap=softcap,
+                attention_chunk=attention_chunk,
+                sink_token_length=sink_token_length,
+                alibi_slopes=alibi_slopes, dropout_p=dropout_p,
+                dropout_seed=dropout_seed)
+        return out, lse, s_dmask
     return out
 
 
@@ -406,7 +474,9 @@ def flash_attn_varlen_func(
         attention_chunk, dropout_p, block_q, block_k,
     )
     if return_attn_probs:
-        return out, lse
+        # (out, lse, None): the packed-varlen S_dmask reconstruction is not
+        # provided (testing-only in the reference; use the dense path).
+        return out, lse, None
     return out
 
 

@@ -145,7 +145,7 @@ def test_flash_attn_lse():
     b, h, d = 1, 2, 64
     sq = sk = 256
     q, k, v = _make_qkv(key, b, sq, sk, h, h, d, dtype=jnp.float32)
-    _, lse = flash_attn_func(q, k, v, causal=True, return_attn_probs=True)
+    _, lse, _ = flash_attn_func(q, k, v, causal=True, return_attn_probs=True)
     scale = 1.0 / math.sqrt(d)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     mask = jnp.tril(jnp.ones((sq, sk), bool))
@@ -200,3 +200,46 @@ def test_flash_attn_qkvpacked():
     ref, _ = attention_ref(q, k, v, causal=True)
     ref_lp, _ = attention_ref(q, k, v, causal=True, upcast=False, reorder_ops=True)
     check_against_ref(out, ref, ref_lp, msg="qkvpacked")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_s_dmask(causal):
+    """return_attn_probs returns (out, lse, S_dmask) — the reference's
+    3-tuple contract (flash_attn/flash_attn_interface.py:879). S_dmask rows
+    are normalized by the kernel's lse, match the fp32 reference attention
+    matrix, and out == S_dmask @ v."""
+    key = jax.random.PRNGKey(31)
+    b, sq, sk, h, d = 1, 256, 256, 4, 64
+    q, k, v = _make_qkv(key, b, sq, sk, h, h, d, dtype=jnp.float32)
+    out, lse, s_dmask = flash_attn_func(q, k, v, causal=causal,
+                                        return_attn_probs=True)
+    assert s_dmask.shape == (b, h, sq, sk)
+    _, attn_ref = attention_ref(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(s_dmask), np.asarray(attn_ref),
+                               atol=2e-3, rtol=1e-2)
+    # probabilities: rows sum to 1 and reproduce out
+    np.testing.assert_allclose(
+        np.asarray(s_dmask.sum(-1)), 1.0, atol=2e-3)
+    out_from_probs = jnp.einsum("bhts,bshd->bthd", s_dmask, v)
+    np.testing.assert_allclose(np.asarray(out_from_probs, np.float32),
+                               np.asarray(out, np.float32), atol=5e-3)
+
+
+def test_flash_attn_s_dmask_dropout_sign():
+    """With dropout, dropped entries are negated (reference sign encoding:
+    keep-mask = S_dmask >= 0) and match the kernel's counter-hash RNG."""
+    from flash_attn_tpu.kernels.dropout_rng import dropout_mask_reference
+
+    key = jax.random.PRNGKey(37)
+    b, s, h, d = 1, 128, 2, 64
+    q, k, v = _make_qkv(key, b, s, s, h, h, d, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(5)
+    out, lse, s_dmask = flash_attn_func(
+        q, k, v, dropout_p=0.3, dropout_rng=rng, causal=True,
+        return_attn_probs=True)
+    seed = jax.random.bits(rng, dtype=jnp.uint32)
+    keep = dropout_mask_reference(seed, b, h, s, s, 0.3)
+    got_keep = np.asarray(s_dmask) >= 0
+    # strictly-positive probs only (masked-out entries are 0 either way)
+    live = np.asarray(jnp.abs(s_dmask)) > 0
+    np.testing.assert_array_equal(got_keep[live], np.asarray(keep)[live])

@@ -194,7 +194,7 @@ def test_paged_prefill_dense_entrypoint_lse():
 
     for s in range(b):
         n = int(sq[s])
-        ref, ref_lse = flash_attn_func(
+        ref, ref_lse, _ = flash_attn_func(
             q[s:s + 1, :n], k_full[s:s + 1, : int(sk[s])],
             v_full[s:s + 1, : int(sk[s])], causal=True,
             return_attn_probs=True)
