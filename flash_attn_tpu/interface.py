@@ -273,10 +273,23 @@ def flash_attn_func(
         alibi_slopes = jnp.broadcast_to(
             alibi_slopes[None], (q.shape[0], alibi_slopes.shape[0])
         )
+    if (qv is not None and q_descale is None and k_descale is None
+            and v_descale is None):
+        # Differentiable MLA qv term via the concat identity:
+        #   q.k^T + qv.v^T == [q, qv].[k, v]^T,
+        # so the qv path IS the standard kernel at head_dim d+dv — forward
+        # and backward (dq = d[q,qv][:, :d], dqv = d[q,qv][:, d:], and the
+        # score-side dv arrives as d[k,v][:, d:], added by autodiff to the
+        # PV-side dv). The reference has qv grads only in its sparse-MLA
+        # backward (cute/flash_bwd_mla_dq_dqv_sm100.py); here the dense
+        # path trains too, and composes with dropout/window/softcap.
+        q = jnp.concatenate([q, qv], axis=-1)
+        k = jnp.concatenate([k, v], axis=-1)
+        qv = None
     if (q_descale is not None or k_descale is not None
             or v_descale is not None or qv is not None):
-        # FP8 / MLA-qv forward path (no backward, matching the reference's
-        # fp8-fwd-only support; MLA bwd uses the separate sparse path)
+        # FP8 forward path (no backward, matching the reference's
+        # fp8-fwd-only support; fp8 MLA-qv keeps the qv-specialized kernel)
         if _fwd_paired_eligible(q, v, None, None, None):
             from flash_attn_tpu.kernels.flash_fwd_paired import (
                 flash_attention_fwd_paired)
@@ -609,3 +622,74 @@ def flash_attn_kvpacked_func(
         deterministic=deterministic, return_attn_probs=return_attn_probs,
         dropout_rng=dropout_rng,
     )
+
+
+# -------------------------- sparse top-k MLA ------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _sparse_mla(q, k, v, qv, indices, softmax_scale, causal):
+    from flash_attn_tpu.kernels.flash_sparse_mla import sparse_mla_fwd
+
+    out, lse = sparse_mla_fwd(q, k, v, qv, indices,
+                              softmax_scale=softmax_scale, causal=causal)
+    return out, lse
+
+
+def _sparse_mla_fwd_res(q, k, v, qv, indices, softmax_scale, causal):
+    from flash_attn_tpu.kernels.flash_sparse_mla import sparse_mla_fwd
+
+    out, lse = sparse_mla_fwd(q, k, v, qv, indices,
+                              softmax_scale=softmax_scale, causal=causal)
+    return (out, lse), (q, k, v, qv, indices, out, lse)
+
+
+def _sparse_mla_bwd(softmax_scale, causal, residuals, g):
+    from flash_attn_tpu.kernels.flash_sparse_mla import sparse_mla_bwd
+
+    q, k, v, qv, indices, out, lse = residuals
+    dq, dk, dv, dqv = sparse_mla_bwd(
+        g[0], q, k, v, qv, indices, out, lse,
+        softmax_scale=softmax_scale, causal=causal)
+    if dqv is None and qv is not None:
+        dqv = jnp.zeros_like(qv)
+    return (dq, dk, dv,
+            None if qv is None else dqv,
+            jnp.zeros_like(indices))
+
+
+_sparse_mla.defvjp(_sparse_mla_fwd_res, _sparse_mla_bwd)
+
+
+def flash_attn_sparse_mla_func(
+    q,                  # (batch, seqlen_q, nheads, head_dim)
+    k,                  # (batch, seqlen_k, 1, head_dim) — MQA
+    v,                  # (batch, seqlen_k, 1, head_dim_v)
+    gather_kv_indices,  # (batch, seqlen_q, topk) int32, -1 = invalid
+    qv=None,            # (batch, seqlen_q, nheads, head_dim_v)
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    return_attn_probs: bool = False,
+):
+    """Sparse top-k MLA attention (DeepSeek DSA): each query row attends
+    only to its explicit per-row top-k KV set, with the absorbed-MLA
+    ``qv`` extra-query term. Differentiable in q/k/v/qv (dK/dV scattered
+    deterministically at the gather indices).
+
+    Reference surface: ``flash_attn_func(..., gather_kv_indices=)``
+    (/root/reference/flash_attn/cute/interface.py:558,930-955) and
+    ``_flash_attn_bwd_sparse_mla`` (cute/interface.py:2645); kernel
+    design notes in kernels/flash_sparse_mla.py. Unlike the reference
+    (MQA h=128 only, fwd-saved P/row_max), any head count divisible by
+    8 works and the backward recomputes the gather.
+
+    Returns out (batch, seqlen_q, nheads, head_dim_v); with
+    return_attn_probs, (out, lse) — lse (batch, nheads, seqlen_q), no
+    S_dmask on the sparse path (the reference returns none either).
+    """
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(
+            q.shape[-1] if qv is None else q.shape[-1] + v.shape[-1])
+    out, lse = _sparse_mla(q, k, v, qv, gather_kv_indices,
+                           softmax_scale, causal)
+    return (out, lse) if return_attn_probs else out

@@ -72,3 +72,34 @@ def test_mla_absorbed_decode():
         causal=True, softmax_scale=1.0 / np.sqrt(d), upcast=False,
         reorder_ops=True)
     check_against_ref(out, ref, ref_lp, msg="mla decode")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_qv_term_grads(causal):
+    """The dense MLA qv path is differentiable (round-3): grads of
+    q/k/v/qv match autodiff through the fp32 reference. Mechanism: the
+    concat identity q.k^T + qv.v^T == [q,qv].[k,v]^T routes the qv path
+    through the standard differentiable kernel (interface.py), which the
+    reference's dense backward does not support (qv grads exist only in
+    its sparse-MLA kernels, cute/flash_bwd_mla_dq_dqv_sm100.py)."""
+    b, s, h = 1, 256, 4
+    d, dv = 64, 32
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, s, 1, d))
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, s, 1, dv))
+    qv = jax.random.normal(jax.random.PRNGKey(4), (b, s, h, dv))
+    g = jax.random.normal(jax.random.PRNGKey(5), (b, s, h, dv))
+
+    def loss_kernel(q, k, v, qv):
+        return (flash_attn_func(q, k, v, causal=causal, qv=qv) * g).sum()
+
+    def loss_ref(q, k, v, qv):
+        out, _ = attention_ref(q, k, v, causal=causal, qv=qv)
+        return (out * g).sum()
+
+    grads = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, qv)
+    refs = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, qv)
+    for name, got, ref in zip(("dq", "dk", "dv", "dqv"), grads, refs):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=1e-3, rtol=1e-3, err_msg=f"{name} causal={causal}")
