@@ -95,21 +95,6 @@ def grad_program():
           flush=True)
 
 
-def fwd_paired(bq=None, bk=None, causal=True):
-    from flash_attn_tpu.kernels.flash_fwd_paired import (
-        flash_attention_fwd_paired)
-    b, h, s, d = 4, 16, 8192, 128
-    q, k, v = make_qkv(b, h, s, d)
-    tr = lambda x: jnp.swapaxes(x, 1, 2)  # paired fwd is bshd-native
-    q, k, v = tr(q), tr(k), tr(v)
-    fn = jax.jit(lambda q, k, v: flash_attention_fwd_paired(
-        q, k, v, causal=causal, block_q=bq, block_k=bk)[0])
-    t = bench_fn(fn, q, k, v)
-    tf = 4.0 * b * h * s * s * d / (2 if causal else 1) / t / 1e12
-    print(f"fwd PAIRED causal={causal} seq8k bq={bq} bk={bk}: "
-          f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
-
-
 def decode_serving(b=64, ctx=576, s_max=640):
     """Time ONE decode-attention call at the 913M serving shape (slot
     cache, bf16, non-paged) via an on-device fori_loop — isolates the
@@ -155,7 +140,7 @@ def fwd_split(bq=None, bk=None, ebq=None, ebk=None):
           f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
 
 
-def bwd_split(bq=None, bk=None, s=4096, paired_bulk=False):
+def bwd_split(bq=None, bk=None, s=4096):
     from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
     from flash_attn_tpu.kernels.flash_bwd_split import (
         flash_attention_bwd_split)
@@ -167,32 +152,11 @@ def bwd_split(bq=None, bk=None, s=4096, paired_bulk=False):
     tr = lambda x: jnp.swapaxes(x, 1, 2)
     do, q, k, v, out = tr(do), tr(q), tr(k), tr(v), tr(out)
     fn = jax.jit(lambda do, q, k, v, out, lse: flash_attention_bwd_split(
-        do, q, k, v, out, lse, block_q=bq, block_k=bk,
-        paired_bulk=paired_bulk)[0])
+        do, q, k, v, out, lse, block_q=bq, block_k=bk)[0])
     t = bench_fn(fn, do, q, k, v, out, lse)
     tf = 2.5 * 4.0 * b * h * s * s * d / 2 / t / 1e12
-    print(f"bwd SPLIT{'+PAIRED' if paired_bulk else ''} seq{s} "
+    print(f"bwd SPLIT seq{s} "
           f"bq={bq} bk={bk}: {tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
-
-
-def bwd_paired(bq=None, bk=None, causal=True, s=4096):
-    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
-    from flash_attn_tpu.kernels.flash_bwd_paired import (
-        flash_attention_bwd_paired)
-    b, h, d = 4, 16, 128
-    q, k, v = make_qkv(b, h, s, d)
-    out, lse = jax.jit(lambda q, k, v: flash_attention_fwd(
-        q, k, v, causal=causal, return_lse=True))(q, k, v)
-    do = jnp.ones_like(out)
-    tr = lambda x: jnp.swapaxes(x, 1, 2)
-    do, q, k, v, out = tr(do), tr(q), tr(k), tr(v), tr(out)
-    fn = jax.jit(lambda do, q, k, v, out, lse: flash_attention_bwd_paired(
-        do, q, k, v, out, lse, causal=causal,
-        block_q=bq, block_k=bk)[0])
-    t = bench_fn(fn, do, q, k, v, out, lse)
-    tf = 2.5 * 4.0 * b * h * s * s * d / (2 if causal else 1) / t / 1e12
-    print(f"bwd PAIRED seq{s} causal={causal} bq={bq} bk={bk}: "
-          f"{tf:.1f} TF/s-equiv ({t*1e3:.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":
@@ -210,31 +174,8 @@ if __name__ == "__main__":
         ebq = int(sys.argv[4]) if len(sys.argv) > 4 else None
         ebk = int(sys.argv[5]) if len(sys.argv) > 5 else None
         fwd_split(bq, bk, ebq, ebk)
-    if what == "fwdsp":
-        from flash_attn_tpu.kernels.flash_fwd_split import (
-            flash_attention_fwd_split_paired)
-        b, h, s, d = 4, 16, 8192, 128
-        q, k, v = make_qkv(b, h, s, d)
-        tr = lambda x: jnp.swapaxes(x, 1, 2)
-        q, k, v = tr(q), tr(k), tr(v)
-        fn = jax.jit(lambda q, k, v: flash_attention_fwd_split_paired(
-            q, k, v, block_q=bq, block_k=bk)[0])
-        t = bench_fn(fn, q, k, v)
-        tf = 4.0 * b * h * s * s * d / 2 / t / 1e12
-        print(f"fwd SPLIT+PAIRED causal seq8k bq={bq} bk={bk}: "
-              f"{tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
-    if what == "fwdp":
-        fwd_paired(bq, bk)
-    if what == "fwdpnc":
-        fwd_paired(bq, bk, causal=False)
     if what == "bwds":
         bwd_split(bq, bk)
-    if what == "bwdsp":
-        bwd_split(bq, bk, paired_bulk=True)
-    if what == "bwdp":
-        bwd_paired(bq, bk)
-    if what == "bwdpnc":
-        bwd_paired(bq, bk, causal=False)
     if what in ("bwd", "all"):
         bwd_fused(bq, bk)
     if what == "bwdnc":

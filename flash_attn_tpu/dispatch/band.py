@@ -155,58 +155,3 @@ class PackedBand:
     def row_of(self, t_py: int) -> int:
         """Python-side decode (for tests)."""
         return bisect.bisect_right(self.tri, t_py) - 1
-
-
-class PackedBandEven:
-    """Packed band with every row's tile count padded to EVEN length, for
-    kernels that process tile PAIRS per grid step (flash_fwd_paired): pairs
-    then never straddle a q-row boundary, so the online-softmax state and
-    the block-spec'd outputs stay per-row.
-
-    Rows with an odd in-band tile count get ONE pad slot at the row end.
-    A pad slot decodes to (i, j_max[i]) — a real, in-range block (the DMA
-    re-reads the row's last KV block; no out-of-bounds traffic) — and
-    ``decode`` flags it dead via j_raw > j_max so the kernel can gate its
-    contribution out of the softmax state.
-    """
-
-    def __init__(self, j_min: Sequence[int], j_max: Sequence[int]):
-        self.j_min = tuple(int(x) for x in j_min)
-        self.j_max = tuple(int(x) for x in j_max)
-        self.nq = len(self.j_min)
-        tri = [0]
-        for lo, hi in zip(self.j_min, self.j_max):
-            n = hi - lo + 1
-            tri.append(tri[-1] + n + (n & 1))
-        self.tri = tuple(tri)
-        self.num_slots = tri[-1]
-        self.num_pairs = self.num_slots // 2
-        self.num_tiles = sum(hi - lo + 1
-                             for lo, hi in zip(self.j_min, self.j_max))
-
-    def decode(self, t):
-        """t (traced int32 slot) -> (i, j_raw, j_max_i, t_row_first,
-        t_row_last). j_raw may exceed j_max_i by one (the pad slot); clamp
-        with minimum for index maps, compare for liveness."""
-        i = jnp.int32(0)
-        start = jnp.int32(0)
-        jmin = jnp.int32(self.j_min[0])
-        jmax = jnp.int32(self.j_max[0])
-        last = jnp.int32(self.tri[1] - 1)
-        for m in range(1, self.nq):
-            c = t >= self.tri[m]
-            i = jnp.where(c, jnp.int32(m), i)
-            start = jnp.where(c, jnp.int32(self.tri[m]), start)
-            jmin = jnp.where(c, jnp.int32(self.j_min[m]), jmin)
-            jmax = jnp.where(c, jnp.int32(self.j_max[m]), jmax)
-            last = jnp.where(c, jnp.int32(self.tri[m + 1] - 1), last)
-        j_raw = jmin + (t - start)
-        return i, j_raw, jmax, start, last
-
-    def i_of(self, t):
-        return self.decode(t)[0]
-
-    def j_of(self, t):
-        """Clamped (always in-band) KV block index, for index maps."""
-        i, j_raw, jmax, _, _ = self.decode(t)
-        return jnp.minimum(j_raw, jmax)

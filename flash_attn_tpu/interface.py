@@ -110,41 +110,11 @@ def _flash_attn(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
     return out, lse
 
 
-def _fwd_paired_eligible(q, v, score_mod, mask_mod, aux_tensors):
-    """Paired-tile bshd forward (flash_fwd_paired.py): d % 128 == 0, no
-    flex hooks. Env-gated until validated faster on target hardware."""
-    import os
-
-    return (os.environ.get("FA_FWD_PAIRED", "0") == "1"
-            and q.shape[-1] % 128 == 0 and v.shape[-1] % 128 == 0
-            and score_mod is None and mask_mod is None and not aux_tensors)
-
-
 def _flash_attn_fwd_res(q, k, v, alibi_slopes, learnable_sink, dropout_seed,
                         aux_tensors,
                         softmax_scale, causal, window_size, softcap,
                         attention_chunk, sink_token_length, deterministic,
                         dropout_p, score_mod=None, mask_mod=None):
-    if _fwd_paired_eligible(q, v, score_mod, mask_mod, aux_tensors):
-        from flash_attn_tpu.kernels.flash_fwd_paired import (
-            flash_attention_fwd_paired)
-
-        out, lse = flash_attention_fwd_paired(
-            q, k, v,
-            alibi_slopes=alibi_slopes,
-            learnable_sink=learnable_sink,
-            dropout_p=dropout_p,
-            dropout_seed=dropout_seed,
-            softmax_scale=softmax_scale,
-            causal=causal,
-            window_size=window_size,
-            softcap=softcap,
-            attention_chunk=attention_chunk,
-            sink_token_length=sink_token_length,
-            interpret=_use_interpret(),
-        )
-        return (out, lse), (q, k, v, alibi_slopes, learnable_sink,
-                            dropout_seed, aux_tensors, out, lse)
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
@@ -290,22 +260,6 @@ def flash_attn_func(
             or v_descale is not None or qv is not None):
         # FP8 forward path (no backward, matching the reference's
         # fp8-fwd-only support; fp8 MLA-qv keeps the qv-specialized kernel)
-        if _fwd_paired_eligible(q, v, None, None, None):
-            from flash_attn_tpu.kernels.flash_fwd_paired import (
-                flash_attention_fwd_paired)
-
-            out, lse = flash_attention_fwd_paired(
-                q, k, v, alibi_slopes=alibi_slopes,
-                learnable_sink=learnable_sink, qv=qv,
-                q_descale=q_descale, k_descale=k_descale,
-                v_descale=v_descale,
-                softmax_scale=softmax_scale, causal=causal,
-                window_size=window_size, softcap=softcap,
-                attention_chunk=attention_chunk,
-                sink_token_length=sink_token_length,
-                interpret=_use_interpret(),
-            )
-            return (out, lse, None) if return_attn_probs else out
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
         out_t, lse = flash_attention_fwd(
             qt, kt, vt, alibi_slopes=alibi_slopes,

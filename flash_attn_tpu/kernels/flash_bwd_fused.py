@@ -600,16 +600,6 @@ def flash_attention_bwd_auto(do, q, k, v, out, lse, **kw):
             softmax_scale=kw.get("softmax_scale"),
             block_q=kw.get("block_q"), block_k=kw.get("block_k"),
             interpret=kw.get("interpret", False))
-    if (d % 128 == 0 and dv_dim % 128 == 0 and sk_pad % 128 == 0
-            and fits_vmem(sk_pad, d, dv_dim, bq)
-            and os.environ.get("FA_BWD_PAIRED", "0") == "1"):
-        # Paired-tile software-pipelined variant (flash_bwd_paired.py):
-        # overlaps one tile's softmax VPU chain with the other's matmuls.
-        # Env-gated until validated faster on the target hardware.
-        from flash_attn_tpu.kernels.flash_bwd_paired import (
-            flash_attention_bwd_paired)
-
-        return flash_attention_bwd_paired(do, q, k, v, out, lse, **kw)
     if aligned and fits_vmem(sk_pad, d, dv_dim, bq):
         return flash_attention_bwd_fused(do, q, k, v, out, lse, **kw)
     if kw.pop("aux_tensors", None):

@@ -52,8 +52,6 @@ def flash_attention_bwd_split(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
-    paired_bulk: bool = False,  # run the bulk pass through the paired
-    # (MXU/VPU-overlapped) kernel — the stacked candidate
 ):
     """Causal-only split-edge fused backward. Returns (dq, dk, dv) like
     flash_attention_bwd_fused(causal=True). Plain hot path only."""
@@ -88,19 +86,10 @@ def flash_attention_bwd_split(
     if bulk[1][-1] < 0:  # no full tiles at all
         return fallback()
 
-    if paired_bulk and d % 128 == 0 and dv_dim % 128 == 0:
-        from flash_attn_tpu.kernels.flash_bwd_paired import (
-            flash_attention_bwd_paired)
-
-        dq_b, dk_b, dv_b = flash_attention_bwd_paired(
-            do, q, k, v, out, lse, softmax_scale=softmax_scale,
-            causal=False, block_q=bq, block_k=bk, band_override=bulk,
-            interpret=interpret)
-    else:
-        dq_b, dk_b, dv_b = flash_attention_bwd_fused(
-            do, q, k, v, out, lse, softmax_scale=softmax_scale,
-            causal=False, block_q=bq, block_k=bk, band_override=bulk,
-            interpret=interpret)
+    dq_b, dk_b, dv_b = flash_attention_bwd_fused(
+        do, q, k, v, out, lse, softmax_scale=softmax_scale,
+        causal=False, block_q=bq, block_k=bk, band_override=bulk,
+        interpret=interpret)
 
     if (bq % bk == 0 and shift % bq == 0 and d % 128 == 0
             and dv_dim % 128 == 0):

@@ -290,129 +290,6 @@ def _diag_merge(q, k, v, out_b, lse_b, *, softmax_scale, block_q, shift,
     return out, lse[:, :, 0, :]
 
 
-def _diag_merge_bshd_kernel(q_ref, k_ref, v_ref, ob_ref, lb_ref, out_ref,
-                            lse_ref, *, block_q, scale_log2, n_empty,
-                            out_dtype):
-    """bshd twin of _diag_merge_kernel (blocks are (1, bq, d) views of the
-    (b, s, h*d) public layout) for the paired-bulk stacked variant."""
-    i = pl.program_id(2)
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
-    s2 = jax.lax.dot_general(
-        qs, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
-    s2 = jnp.where(cols <= rows, s2, float("-inf"))
-    m_e = jnp.max(s2, axis=-1, keepdims=True)
-    p = jnp.exp2(s2 - m_e)
-    l_e = jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    lse_b2 = lb_ref[0, 0, 0].reshape(block_q, 1) * LOG2E
-    ob = ob_ref[0].astype(jnp.float32)
-    live_b = jnp.full((block_q, 1), i >= n_empty)
-    lse_b2 = jnp.where(live_b, lse_b2, float("-inf"))
-    ob = jnp.where(live_b, ob, 0.0)
-    m_tot = jnp.maximum(m_e, lse_b2)
-    w_e = jnp.exp2(m_e - m_tot)
-    w_b = jnp.exp2(jnp.where(live_b, lse_b2 - m_tot, float("-inf")))
-    denom = l_e * w_e + w_b
-    out_ref[0] = ((pv * w_e + ob * w_b) / denom).astype(out_dtype)
-    lse_ref[0, 0, 0] = (m_tot * LN2 + jnp.log(denom))[:, 0]
-
-
-def flash_attention_fwd_split_paired(
-    q,  # (b, sq, h, d) — bshd public layout (paired-kernel contract)
-    k,  # (b, sk, h_k, d)
-    v,  # (b, sk, h_k, dv)
-    softmax_scale: Optional[float] = None,
-    block_q: Optional[int] = None,
-    block_k: Optional[int] = None,
-    interpret: bool = False,
-):
-    """Stacked causal candidate: PAIRED maskless bulk (MXU/VPU overlap,
-    flash_fwd_paired.py) + fused diagonal-merge edge. Constraints: plain
-    causal, d/dv % 128 == 0, whole tiles, bk | bq, bq | shift. Returns
-    (out, lse) bshd."""
-    from flash_attn_tpu.kernels.flash_fwd_paired import (
-        flash_attention_fwd_paired)
-
-    b, sq, h, d = q.shape
-    _, sk, h_k, _ = k.shape
-    dv = v.shape[-1]
-    group = h // h_k
-    shift = sk - sq
-    assert shift >= 0 and d % 128 == 0 and dv % 128 == 0
-    if softmax_scale is None:
-        softmax_scale = 1.0 / math.sqrt(d)
-    cfg = get_fwd_config(d, dv, sq, sk, True)
-    bq = min(block_q or cfg.block_q, _next_pow2(sq))
-    bk = min(block_k or cfg.block_k, _next_pow2(sk))
-    if not (sq % bq == 0 and sk % bk == 0 and bq % bk == 0
-            and shift % bq == 0):
-        return flash_attention_fwd_paired(
-            q, k, v, softmax_scale=softmax_scale, causal=True,
-            block_q=bq, block_k=bk, interpret=interpret)
-    nq, nk = sq // bq, sk // bk
-    bulk, _, n_empty = split_bands(nq, nk, bq, bk, shift)
-    if bulk[1][-1] < 0:
-        return flash_attention_fwd_paired(
-            q, k, v, softmax_scale=softmax_scale, causal=True,
-            block_q=bq, block_k=bk, interpret=interpret)
-
-    out_b, lse_b = flash_attention_fwd_paired(
-        q, k, v, softmax_scale=softmax_scale, causal=False,
-        block_q=bq, block_k=bk, band_override=bulk, interpret=interpret)
-
-    koff = shift // bq
-    grid = (b, h, nq)
-    qmap = lambda b_, h_, i: (b_, i, h_)
-    kvmap = lambda b_, h_, i: (b_, i + koff, h_ // group)
-    lmap = lambda b_, h_, i: (b_, h_, 0, i)
-    kernel = functools.partial(
-        _diag_merge_bshd_kernel, block_q=bq,
-        scale_log2=softmax_scale * LOG2E,
-        n_empty=1 if shift == 0 else 0, out_dtype=q.dtype)
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), qmap),
-            pl.BlockSpec((1, bq, d), kvmap),
-            pl.BlockSpec((1, bq, dv), kvmap),
-            pl.BlockSpec((1, bq, dv), qmap),
-            pl.BlockSpec((1, 1, 1, bq), lmap),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, dv), qmap),
-            pl.BlockSpec((1, 1, 1, bq), lmap),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, sq, h * dv), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-            vmem_limit_bytes=scoped_vmem_limit(bq, bq, 2),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * sq * bq * (d + dv) // 2,
-            bytes_accessed=2 * b * h * sq * (d + 2 * dv),
-            transcendentals=b * h * sq * bq // 2,
-        ),
-        interpret=interpret,
-    )(q.reshape(b, sq, h * d), k.reshape(b, sk, h_k * d),
-      v.reshape(b, sk, h_k * dv), out_b.reshape(b, sq, h * dv),
-      lse_b[:, :, None, :])
-    return out.reshape(b, sq, h, dv), lse[:, :, 0, :]
-
-
 def _rescale_edge(bq, bk, ebq, ebk, shift, sq, sk, nk):
     """Edge band re-tiled at (ebq, ebk) <= (bq, bk), ebq | bq and ebk | bk:
     per edge q block, all KV columns the bulk pass (at (bq, bk) tiling)

@@ -70,6 +70,12 @@ class GPTConfig:
     # Halves decode-path cache reads — the serving throughput bottleneck.
     kv_cache_dtype: Optional[jnp.dtype] = None
     kv_cache_scale: float = 1.0
+    # Per-layer activation rematerialization (jax.checkpoint / flax
+    # nn.remat) in train mode: trades ~1/3 extra fwd FLOPs for O(layers)
+    # less activation memory. The reference's headline 72%-MFU number is
+    # WITHOUT activation checkpointing on 80 GB parts (README.md:527-530);
+    # a 16 GB v5e needs it for ~1B-param training at seq 2k+.
+    remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -191,10 +197,15 @@ class GPTModel(nn.Module):
             hidden = nn.Dropout(cfg.embd_dropout, deterministic=False)(
                 hidden, rng=self.make_rng("dropout"))
         residual = None
+
+        def block_fn(block, h, r):
+            return block(h, r, deterministic=deterministic, mode=mode,
+                         **mixer_kwargs)
+
+        if cfg.remat and mode == "train":
+            block_fn = nn.remat(block_fn)
         for block in self.layers:
-            hidden, residual = block(
-                hidden, residual, deterministic=deterministic, mode=mode,
-                **mixer_kwargs)
+            hidden, residual = block_fn(block, hidden, residual)
         if residual is not None:
             hidden = (hidden.astype(jnp.float32)
                       + residual.astype(jnp.float32)).astype(cfg.dtype)

@@ -35,3 +35,71 @@ def _clear_jax_caches_between_modules():
     yield
     jax.clear_caches()
     gc.collect()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long sweeps / redundant parametrizations excluded from the "
+        "default smoke run (pytest -m 'not slow'); the full suite is "
+        "documented in tests/README.md")
+
+
+# Curated slow set (the reference curates its CI subset the same way:
+# tools/ci/run_fa4_ci.py:16-23 FA4_TEST_FILTER). Every kernel family and
+# subsystem keeps at least one smoke test; entries here are the heavier
+# parametrizations / breadth sweeps whose coverage the smoke set already
+# represents. Matching is per (module basename, substring-of-test-name);
+# a bare module name marks the whole module.
+_SLOW = {
+    "test_hdim_breadth.py": [""],  # breadth sweep module (hdim 128 is the
+    # smoke-covered hot path everywhere else)
+    "test_training.py": ["test_train_steps_and_resume",
+                         "test_zero2_matches_baseline",
+                         "test_loss_scaler_skips_overflow_and_grows"],
+    "test_speculative.py": ["test_speculative_greedy_equivalence",
+                            "test_speculative_batched_greedy_equivalence",
+                            "test_speculative_perfect_draft"],
+    "test_engine.py": ["test_engine_token_budgeted_admission",
+                       "test_engine_slot_reuse_and_mixed_lengths",
+                       "test_engine_matches_standalone_decode",
+                       "test_chunked_slot_prefill_matches_full"],
+    "test_gpt.py": ["test_decode_matches_teacher_forcing"],
+    "test_fp8.py": ["test_model_fp8_kv_cache_decode"],
+    "test_models_misc.py": ["test_bert_padded_vs_unpadded",
+                            "test_vit_forward"],
+    "test_hf_adapters.py": ["test_gpt_neox", "test_gptj", "test_falcon",
+                            "test_opt", "test_btlm", "test_baichuan"],
+    "test_dropout.py": ["test_varlen_dropout_fwd_bwd",
+                        "test_dropout_backward[True]"],
+    "test_parallel.py": ["test_tp_generation_matches_single_device",
+                         "test_tp_gpt_matches_single_device"],
+    "test_flash_attn_varlen.py": ["test_varlen_backward[mha-False]",
+                                  "test_varlen_local_alibi_softcap",
+                                  "test_varlen_scheduler_metadata_consumed",
+                                  "test_varlen_output[257-320-64-False-mha]"],
+    "test_overflow.py": ["test_bwd_overflow[97-64-False]",
+                         "test_bwd_overflow[579-64-False]"],
+    "test_paged_prefill.py": ["test_varlen_paged_prefill_matches_full[gqa",
+                              "test_varlen_paged_prefill_window",
+                              "test_paged_prefill_dense_entrypoint_lse"],
+    "test_kvcache.py": ["test_kvcache_paged_long_context_chunking",
+                        "test_kvcache_append[True-False]",
+                        "test_kvcache_paged_batch_chunking"],
+    "test_flash_attn.py": ["test_flash_attn_backward[128-217-64-False-mha]",
+                           "test_flash_attn_backward[384-256-64-False-mha]",
+                           "test_flash_attn_backward[128-217-128-False-mha]",
+                           "test_flash_attn_local[window_size0-False]",
+                           "test_flash_attn_chunked_causal"],
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        pats = _SLOW.get(item.fspath.basename)
+        if not pats:
+            continue
+        for p in pats:
+            if p in item.name or p == "":
+                item.add_marker(pytest.mark.slow)
+                break

@@ -36,22 +36,6 @@ def test_bwd_split_matches_fused(sq, sk, bq, bk):
             atol=3e-2, rtol=3e-2, err_msg=f"{name} sq={sq} bq={bq} bk={bk}")
 
 
-@pytest.mark.parametrize("sq,sk", [(512, 512), (512, 1024)])
-def test_bwd_split_paired_bulk(sq, sk):
-    """Stacked candidate: paired maskless bulk + diag-merge edge."""
-    do, q, k, v, out, lse = _setup(jax.random.PRNGKey(21), 1, 4, 2,
-                                   sq, sk, 128)
-    ds = flash_attention_bwd_split(do, q, k, v, out, lse,
-                                   block_q=128, block_k=128,
-                                   paired_bulk=True, interpret=True)
-    dr = flash_attention_bwd_fused(do, q, k, v, out, lse, causal=True,
-                                   block_q=128, block_k=128, interpret=True)
-    for got, want, name in zip(ds, dr, ("dq", "dk", "dv")):
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(want, np.float32),
-            atol=3e-2, rtol=3e-2, err_msg=f"{name} paired-bulk sq={sq}")
-
-
 def test_bwd_split_fallback_partial_blocks():
     do, q, k, v, out, lse = _setup(jax.random.PRNGKey(9), 1, 2, 2,
                                    384, 384, 128)

@@ -112,25 +112,6 @@ def test_split_gqa_dv_crossings(h_k, d, dv):
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("sq,sk", [(512, 512), (512, 1024)])
-def test_split_paired_stacked(sq, sk):
-    """Paired-bulk + diag-merge stacked variant (bshd) vs standard."""
-    from flash_attn_tpu.kernels.flash_fwd_split import (
-        flash_attention_fwd_split_paired)
-    key = jax.random.PRNGKey(hash((sq, sk, "sp")) % 2**31)
-    q, k, v = _qkv(key, 1, 4, 2, sq, sk, 128)
-    tr = lambda x: jnp.swapaxes(x, 1, 2)  # stacked driver takes bshd
-    out_s, lse_s = flash_attention_fwd_split_paired(
-        tr(q), tr(k), tr(v), block_q=128, block_k=128, interpret=True)
-    out_r, lse_r = flash_attention_fwd(
-        q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(tr(out_s), np.float32), np.asarray(out_r, np.float32),
-        atol=2e-2, rtol=2e-2)
-    np.testing.assert_allclose(np.asarray(lse_s), np.asarray(lse_r),
-                               atol=1e-4, rtol=1e-4)
-
-
 def test_split_fallback_partial_blocks():
     """Non-divisible seqlens route to the standard kernel (still correct)."""
     q, k, v = _qkv(jax.random.PRNGKey(5), 1, 2, 2, 384, 384, 64)
