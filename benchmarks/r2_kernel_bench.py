@@ -110,7 +110,7 @@ def decode_serving(b=64, ctx=576, s_max=640):
     seqlens = jnp.full((b,), ctx, jnp.int32)
     N = 50
 
-    def steps(q):
+    def steps(q, kc, vc, seqlens):
         def body(i, carry):
             acc, q = carry
             o = flash_attn_with_kvcache(q, kc, vc, cache_seqlens=seqlens,
@@ -119,7 +119,7 @@ def decode_serving(b=64, ctx=576, s_max=640):
         acc, _ = jax.lax.fori_loop(0, N, body, (jnp.float32(0), q))
         return acc
 
-    t = bench_fn(jax.jit(steps), q, iters=3, warmup=1) / N
+    t = bench_fn(jax.jit(steps), q, kc, vc, seqlens, iters=3, warmup=1) / N
     gb = 2 * b * h_k * ctx * d * 2 / 1e9  # K+V bf16 read per step
     print(f"decode-attn serving b={b} ctx={ctx}: {t*1e3:.3f} ms/step, "
           f"{gb/t:.0f} GB/s effective (16-layer extrapolation "

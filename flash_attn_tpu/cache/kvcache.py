@@ -36,32 +36,69 @@ def kv_cache_update(
     block_table=None,     # (b, max_pages)
     cache_batch_idx=None,  # (b,)
 ):
-    """Scatter new K/V into the cache at per-batch offsets. Only the touched
-    positions are written (XLA scatter), not whole cache rows."""
+    """Write new K/V into the cache at per-batch offsets.
+
+    Implementation note (round-3 measured, v5e): an XLA scatter
+    (``cache.at[rows, :, pos].set``) lowers on TPU to a whole-cache
+    rewrite — 32 ms/step for 16 layers of (64, 16, 608, 128) bf16 caches
+    (~7.4 GB of copies), which was 2/3 of the 913M decode step. A
+    ``fori_loop`` of per-row ``dynamic_update_slice`` stays in-place but
+    pays ~25 us of while-loop sync per iteration (26 ms total at b=64 x
+    16 layers). The winner is the UNROLLED per-row DUS chain: no loop
+    machinery, in-place on the donated buffer, ~2.9 ms for the same 16
+    layers. Unrolling is capped at b <= 256 (compile-size guard; larger
+    batches fall back to the fori form). The paged multi-token append
+    keeps the scatter (runtime-varying per-page piece lengths can't be
+    static-size DUS slices); it is off the decode hot path.
+    """
     b, s_new = k_new.shape[0], k_new.shape[1]
     offs = cache_seqlens.astype(jnp.int32)
-    pos = offs[:, None] + jnp.arange(s_new, dtype=jnp.int32)[None, :]  # (b,s_new)
-    # scatter wants (b, s_new, h_k, d) with the advanced dims leading
-    k_src = k_new.astype(k_cache.dtype)
-    v_src = v_new.astype(v_cache.dtype)
+    k_src = jnp.swapaxes(k_new.astype(k_cache.dtype), 1, 2)  # (b,h_k,s_new,d)
+    v_src = jnp.swapaxes(v_new.astype(v_cache.dtype), 1, 2)
+    h_k, d = k_src.shape[1], k_src.shape[3]
+    dv = v_src.shape[3]
+    dus = jax.lax.dynamic_update_slice
+    dsl = jax.lax.dynamic_slice
+
+    def _rows(fn_at):
+        """Apply per-row DUS appends; unrolled for small static batches."""
+        kc, vc = k_cache, v_cache
+        if b <= 256:
+            for i in range(b):
+                at = fn_at(i)
+                kc = dus(kc, dsl(k_src, (i, 0, 0, 0), (1, h_k, s_new, d)), at)
+                vc = dus(vc, dsl(v_src, (i, 0, 0, 0), (1, h_k, s_new, dv)), at)
+            return kc, vc
+
+        def body(i, caches):
+            kc, vc = caches
+            at = fn_at(i)
+            kc = dus(kc, dsl(k_src, (i, 0, 0, 0), (1, h_k, s_new, d)), at)
+            vc = dus(vc, dsl(v_src, (i, 0, 0, 0), (1, h_k, s_new, dv)), at)
+            return kc, vc
+
+        return jax.lax.fori_loop(0, b, body, (kc, vc))
+
     if block_table is not None:
         page_size = k_cache.shape[2]
-        page = jnp.take_along_axis(
-            block_table.astype(jnp.int32), pos // page_size, axis=1
-        )  # (b, s_new)
+        btab = block_table.astype(jnp.int32)
+        if s_new == 1:
+            return _rows(lambda i: (btab[i, offs[i] // page_size], 0,
+                                    offs[i] % page_size, 0))
+        pos = offs[:, None] + jnp.arange(s_new, dtype=jnp.int32)[None, :]
+        page = jnp.take_along_axis(btab, pos // page_size, axis=1)  # (b,s_new)
         inpage = pos % page_size
+        k_sc = jnp.swapaxes(k_src, 1, 2)  # (b, s_new, h_k, d) for scatter
+        v_sc = jnp.swapaxes(v_src, 1, 2)
         # unique_indices skips XLA's scatter dedup machinery (every
         # (page, inpage) target is distinct by construction); bounds stay
         # checked — the capacity guard upstream handles misuse loudly.
-        k_cache = k_cache.at[page, :, inpage].set(k_src, unique_indices=True)
-        v_cache = v_cache.at[page, :, inpage].set(v_src, unique_indices=True)
-    else:
-        bidx = (jnp.arange(b, dtype=jnp.int32) if cache_batch_idx is None
-                else cache_batch_idx.astype(jnp.int32))
-        rows = jnp.broadcast_to(bidx[:, None], pos.shape)
-        k_cache = k_cache.at[rows, :, pos].set(k_src, unique_indices=True)
-        v_cache = v_cache.at[rows, :, pos].set(v_src, unique_indices=True)
-    return k_cache, v_cache
+        k_cache = k_cache.at[page, :, inpage].set(k_sc, unique_indices=True)
+        v_cache = v_cache.at[page, :, inpage].set(v_sc, unique_indices=True)
+        return k_cache, v_cache
+    bidx = (jnp.arange(b, dtype=jnp.int32) if cache_batch_idx is None
+            else cache_batch_idx.astype(jnp.int32))
+    return _rows(lambda i: (bidx[i], 0, offs[i], 0))
 
 
 def flash_attn_with_kvcache(
