@@ -105,7 +105,7 @@ def bench_fwd_causal(peak):
 
 
 def bench_bwd(peak):
-    from flash_attn_tpu import flash_attn_func
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 
     b, s, h, d = 4, 4096, 16, 128
     key = jax.random.PRNGKey(1)
@@ -121,7 +121,12 @@ def bench_bwd(peak):
     # vjp runs: bwd dispatch + input-dtype casts.
     from flash_attn_tpu.kernels.flash_bwd_fused import flash_attention_bwd_auto
 
-    out, lse, _ = flash_attn_func(q, k, v, causal=True, return_attn_probs=True)
+    # kernel-level fwd for the residuals (flash_attn_func with
+    # return_attn_probs would also reconstruct the 4.3 GB S_dmask matrix)
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    out_t, lse = jax.jit(lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=True, return_lse=True))(tr(q), tr(k), tr(v))
+    out = tr(out_t)
     do = jnp.ones_like(out)
 
     def bwd_only(do, q, k, v, out, lse):

@@ -45,11 +45,11 @@ def _decode_kernel(
     seqlens_ref,   # (b,) effective kv length per batch entry (incl leftpad)
     leftpad_ref,   # (b,)
     batch_idx_ref,  # (b,) cache row per batch entry
-    page_tab_ref,  # (b, max_tiles) page table in kv-tile units (or dummy)
+    page_tab_ref,  # (b, table_width) page table (a KV tile spans pages_per_tile)
     *refs,
     block_k, rows_pad, seqlen_q, group, num_splits, max_tiles, num_heads_kv,
     scale_log2, softcap, causal, window_left, window_right,
-    has_alibi, paged, num_pages, has_descale,
+    has_alibi, paged, num_pages, has_descale, pages_per_tile, table_width,
 ):
     """All KV heads are processed per grid step: one strided DMA fetches the
     (h_k, block_k, d) slab (8x fewer, 8x larger transfers than per-head
@@ -87,24 +87,38 @@ def _decode_kernel(
     l_s[...] = jnp.zeros_like(l_s)
 
     def k_dma(slot, t):
+        """Returns the list of async copies filling (k, v) buffer `slot`
+        for KV tile `t`. Paged tiles span `pages_per_tile` pages: one
+        unrolled DMA per page into adjacent sub-slabs of the tile buffer,
+        all in flight concurrently — the reference's PagedKVManager
+        staggering (hopper/paged_kv.h:19-22), which is what lets small
+        pages (16/64) serve at full bandwidth instead of one
+        latency-bound page DMA per tile."""
         if paged:
-            page = jnp.clip(page_tab_ref[b_idx, jnp.minimum(t, max_tiles - 1)],
-                            0, num_pages - 1)
-            src_k = kc_ref.at[page]
-            src_v = vc_ref.at[page]
-        else:
-            off = pl.multiple_of(t * block_k, block_k)
-            src_k = kc_ref.at[row, :, pl.ds(off, block_k)]
-            src_v = vc_ref.at[row, :, pl.ds(off, block_k)]
-        ck = pltpu.make_async_copy(src_k, kbuf.at[slot], sems.at[slot, 0])
-        cv = pltpu.make_async_copy(src_v, vbuf.at[slot], sems.at[slot, 1])
-        return ck, cv
+            ps = block_k // pages_per_tile
+            copies = []
+            for p in range(pages_per_tile):
+                ent = jnp.minimum(t * pages_per_tile + p, table_width - 1)
+                page = jnp.clip(page_tab_ref[b_idx, ent], 0, num_pages - 1)
+                copies.append(pltpu.make_async_copy(
+                    kc_ref.at[page], kbuf.at[slot, :, p * ps:(p + 1) * ps],
+                    sems.at[slot, 0, p]))
+                copies.append(pltpu.make_async_copy(
+                    vc_ref.at[page], vbuf.at[slot, :, p * ps:(p + 1) * ps],
+                    sems.at[slot, 1, p]))
+            return copies
+        off = pl.multiple_of(t * block_k, block_k)
+        src_k = kc_ref.at[row, :, pl.ds(off, block_k)]
+        src_v = vc_ref.at[row, :, pl.ds(off, block_k)]
+        return [
+            pltpu.make_async_copy(src_k, kbuf.at[slot], sems.at[slot, 0, 0]),
+            pltpu.make_async_copy(src_v, vbuf.at[slot], sems.at[slot, 1, 0]),
+        ]
 
     @pl.when(t_lo < t_hi)
     def _prologue():
-        ck, cv = k_dma(0, t_lo)
-        ck.start()
-        cv.start()
+        for c in k_dma(0, t_lo):
+            c.start()
 
     # Queries for ALL kv heads at once: (h_k, rows_pad, d). Every per-tile
     # op below is batched over the head axis — one Mosaic op dispatch on a
@@ -126,9 +140,8 @@ def _decode_kernel(
     def tile_compute(t, slot):
         # NOTE: buffer/semaphore slots are STATIC python ints — dynamic
         # slot indexing hits a catastrophic runtime slow path.
-        ck, cv = k_dma(slot, t)
-        ck.wait()
-        cv.wait()
+        for c in k_dma(slot, t):
+            c.wait()
 
         cols = t * block_k + cols_i
         pos_k = cols - leftpad
@@ -199,17 +212,15 @@ def _decode_kernel(
 
         @pl.when(t0 + 1 < t_hi)
         def _pf1():
-            ck, cv = k_dma(1, t0 + 1)
-            ck.start()
-            cv.start()
+            for c in k_dma(1, t0 + 1):
+                c.start()
 
         tile_compute(t0, 0)
 
         @pl.when(t0 + 2 < t_hi)
         def _pf0():
-            ck, cv = k_dma(0, t0 + 2)
-            ck.start()
-            cv.start()
+            for c in k_dma(0, t0 + 2):
+                c.start()
 
         @pl.when(t0 + 1 < t_hi)
         def _second():
@@ -387,8 +398,17 @@ def flash_attention_decode(
     paged = block_table is not None
     if paged:
         num_pages, h_k, page_size, _ = k_cache.shape
-        bk = page_size
-        max_tiles = block_table.shape[1]
+        # Decouple the KV tile from the page: a tile spans pages_per_tile
+        # pages fetched by concurrent unrolled DMAs (k_dma above), so small
+        # pages keep full-size MXU tiles and enough DMAs in flight. Target
+        # tile ~512 rows (the non-paged sweet spot), bounded by the table.
+        table_width = block_table.shape[1]
+        target = block_k or 512
+        ppt = max(1, min(target // page_size, table_width))
+        while ppt > 1 and table_width % ppt != 0:
+            ppt -= 1
+        bk = ppt * page_size
+        max_tiles = table_width // ppt
     else:
         b_c, h_k, s_max, _ = k_cache.shape
         # tile must divide s_max exactly: the HBM->VMEM DMA slices may not
@@ -425,6 +445,8 @@ def flash_attention_decode(
                 "(modules/mha.py rounds its allocations).", s_max, bk)
         max_tiles = s_max // bk
         num_pages = 1
+        ppt = 1
+        table_width = 1
     dv = v_cache.shape[-1]
     group = h // h_k
     assert not ((q_descale is not None or k_descale is not None)
@@ -495,7 +517,7 @@ def flash_attention_decode(
     scratch_shapes = [
         pltpu.VMEM((2, h_k, bk, d), k_cache.dtype),   # K double buffer
         pltpu.VMEM((2, h_k, bk, dv), v_cache.dtype),  # V double buffer
-        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2, 2, ppt)),
         pltpu.VMEM((h_k, rows_pad, dv), jnp.float32),
         pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
         pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
@@ -515,14 +537,14 @@ def flash_attention_decode(
         scale_log2=softmax_scale * LOG2E, softcap=softcap, causal=causal,
         window_left=window_left, window_right=window_right,
         has_alibi=alibi_slopes is not None, paged=paged, num_pages=num_pages,
-        has_descale=has_descale,
+        has_descale=has_descale, pages_per_tile=ppt, table_width=table_width,
     )
 
     from flash_attn_tpu.utils.fa_logging import log_kernel_launch
     log_kernel_launch(
         "flash_decode", blocks={"kv": (bk,)},
         num_splits=num_splits, paged=paged, rows_pad=rows_pad,
-        heads_kv=h_k, max_tiles=max_tiles)
+        heads_kv=h_k, max_tiles=max_tiles, pages_per_tile=ppt)
 
     outp, lsep = pl.pallas_call(
         kernel,

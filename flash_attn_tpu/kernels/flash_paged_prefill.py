@@ -50,11 +50,11 @@ def _paged_prefill_kernel(
     # scalar prefetch
     seqq_ref,      # (b,) new-chunk q length per sequence
     seqk_ref,      # (b,) total kv length per sequence (incl. the chunk)
-    page_tab_ref,  # (b, max_tiles) page ids (tile units == page units)
+    page_tab_ref,  # (b, table_width) page ids (a KV tile spans pages_per_tile)
     *refs,
     block_q, block_k, h_k, group, num_pages, max_tiles,
     scale_log2, softcap, causal, window_left, window_right,
-    has_descale, out_dtype,
+    has_descale, out_dtype, pages_per_tile, table_width,
 ):
     refs = list(refs)
     # (2, 1, h_k, 128) VMEM: [0]=q_descale*k_descale, [1]=v_descale,
@@ -90,21 +90,30 @@ def _paged_prefill_kernel(
     l_s[...] = jnp.zeros_like(l_s)
 
     def k_dma(slot, t):
-        page = jnp.clip(page_tab_ref[b_idx, jnp.minimum(t, max_tiles - 1)],
-                        0, num_pages - 1)
-        # Whole page, all kv heads: (h_k, page_size, d); full-extent
-        # trailing dims keep the DMA lane-aligned at every head_dim.
-        ck = pltpu.make_async_copy(
-            kc_ref.at[page], kbuf.at[slot], sems.at[slot, 0])
-        cv = pltpu.make_async_copy(
-            vc_ref.at[page], vbuf.at[slot], sems.at[slot, 1])
-        return ck, cv
+        """Async copies filling buffer `slot` for tile `t`: one unrolled
+        DMA per page (pages_per_tile of them, all in flight) into adjacent
+        sub-slabs — the reference's PagedKVManager staggering
+        (hopper/paged_kv.h:19-22), decoupling tile size from page size so
+        small pages (16/64) keep MXU-sized tiles and full bandwidth.
+        Whole page, all kv heads per DMA: (h_k, page_size, d); full-extent
+        trailing dims keep the DMA lane-aligned at every head_dim."""
+        ps = block_k // pages_per_tile
+        copies = []
+        for p in range(pages_per_tile):
+            ent = jnp.minimum(t * pages_per_tile + p, table_width - 1)
+            page = jnp.clip(page_tab_ref[b_idx, ent], 0, num_pages - 1)
+            copies.append(pltpu.make_async_copy(
+                kc_ref.at[page], kbuf.at[slot, :, p * ps:(p + 1) * ps],
+                sems.at[slot, 0, p]))
+            copies.append(pltpu.make_async_copy(
+                vc_ref.at[page], vbuf.at[slot, :, p * ps:(p + 1) * ps],
+                sems.at[slot, 1, p]))
+        return copies
 
     @pl.when(live)
     def _prologue():
-        ck, cv = k_dma(0, t_lo)
-        ck.start()
-        cv.start()
+        for c in k_dma(0, t_lo):
+            c.start()
 
     # GQA-packed queries for ALL kv heads: (h_k, group*block_q, d).
     q = q_ref[0].reshape(h_k, rows, -1)
@@ -117,9 +126,8 @@ def _paged_prefill_kernel(
         vd = descale_ref[1, 0][:, :1].reshape(h_k, 1, 1)
 
     def tile_compute(t, slot):
-        ck, cv = k_dma(slot, t)
-        ck.wait()
-        cv.wait()
+        for c in k_dma(slot, t):
+            c.wait()
         k = kbuf[slot]  # (h_k, block_k, d)
         v = vbuf[slot]
         if has_descale:
@@ -169,17 +177,15 @@ def _paged_prefill_kernel(
 
         @pl.when(t0 + 1 < t_hi)
         def _pf1():
-            ck, cv = k_dma(1, t0 + 1)
-            ck.start()
-            cv.start()
+            for c in k_dma(1, t0 + 1):
+                c.start()
 
         tile_compute(t0, 0)
 
         @pl.when(t0 + 2 < t_hi)
         def _pf0():
-            ck, cv = k_dma(0, t0 + 2)
-            ck.start()
-            cv.start()
+            for c in k_dma(0, t0 + 2):
+                c.start()
 
         @pl.when(t0 + 1 < t_hi)
         def _second():
@@ -295,7 +301,13 @@ def flash_attention_paged_prefill(
     sq_pad = nq * bq
     if sq_pad != sq_max:
         q = jnp.pad(q, ((0, 0), (0, sq_pad - sq_max), (0, 0), (0, 0)))
-    bk = page_size
+    # Tile spans pages_per_tile pages (concurrent unrolled DMAs in the
+    # kernel); target ~512 rows like the decode kernel.
+    table_width = max_tiles
+    ppt = max(1, min(512 // page_size, table_width))
+    while ppt > 1 and table_width % ppt != 0:
+        ppt -= 1
+    bk = ppt * page_size
 
     # (b, h_k, group, sq_pad, d) so one block is all heads' GQA row panels.
     q_r = q.reshape(b, sq_pad, h_k, group, d).transpose(0, 2, 3, 1, 4)
@@ -342,7 +354,7 @@ def flash_attention_paged_prefill(
         scratch_shapes=[
             pltpu.VMEM((2, h_k, bk, d), k_cache.dtype),
             pltpu.VMEM((2, h_k, bk, dv), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2, ppt)),
             pltpu.VMEM((h_k, group * bq, dv), jnp.float32),
             pltpu.VMEM((h_k, group * bq, 128), jnp.float32),
             pltpu.VMEM((h_k, group * bq, 128), jnp.float32),
@@ -353,10 +365,10 @@ def flash_attention_paged_prefill(
     kernel = functools.partial(
         _paged_prefill_kernel,
         block_q=bq, block_k=bk, h_k=h_k, group=group, num_pages=num_pages,
-        max_tiles=max_tiles, scale_log2=softmax_scale * LOG2E,
+        max_tiles=table_width // ppt, scale_log2=softmax_scale * LOG2E,
         softcap=softcap, causal=causal, window_left=window_left,
         window_right=window_right, has_descale=has_descale,
-        out_dtype=out_dtype,
+        out_dtype=out_dtype, pages_per_tile=ppt, table_width=table_width,
     )
 
     out_r, lse_r = pl.pallas_call(

@@ -333,3 +333,31 @@ def test_kvcache_paged_block_table_bounds_guard():
     assert bool(jnp.isnan(bad.astype(jnp.float32)).all())
     good = fn(jnp.array([capacity - 5], jnp.int32))
     assert bool(jnp.isfinite(good.astype(jnp.float32)).all())
+
+
+@pytest.mark.parametrize("page_size,pages_per_seq", [(16, 24), (64, 8)])
+def test_kvcache_paged_small_pages(page_size, pages_per_seq):
+    """Small pages (16/64) — a KV tile spans pages_per_tile pages via
+    concurrent unrolled DMAs (round-3; the reference serves page 16 too:
+    benchmarks/benchmark_mla_paged_kv.py:20-33)."""
+    key = jax.random.PRNGKey(17)
+    b, h, h_k, d = 2, 4, 2, 64
+    s_max = page_size * pages_per_seq
+    num_pages = b * pages_per_seq + 3
+    q = _mk(key, (b, 1, h, d))
+    kp = _mk(jax.random.PRNGKey(1), (num_pages, h_k, page_size, d))
+    vp = _mk(jax.random.PRNGKey(2), (num_pages, h_k, page_size, d))
+    perm = jax.random.permutation(jax.random.PRNGKey(3), num_pages)
+    table = perm[: b * pages_per_seq].reshape(b, pages_per_seq)
+    cache_seqlens = jnp.array([s_max - 5, s_max // 2 + 3], jnp.int32)
+
+    out = flash_attn_with_kvcache(
+        q, kp, vp, cache_seqlens=cache_seqlens, block_table=table,
+        causal=True)
+    k_lin = (kp[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    v_lin = (vp[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    ref = _ref_decode(q, k_lin, v_lin, cache_seqlens, True)
+    ref_lp = _ref_decode(q, k_lin, v_lin, cache_seqlens, True, upcast=False)
+    check_against_ref(out, ref, ref_lp, msg=f"paged page={page_size}")

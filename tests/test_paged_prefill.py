@@ -204,3 +204,44 @@ def test_paged_prefill_dense_entrypoint_lse():
         np.testing.assert_allclose(
             np.asarray(lse[s, :, :n], np.float32),
             np.asarray(ref_lse[0], np.float32), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("page_size", [16, 64])
+def test_paged_prefill_small_pages(page_size):
+    """Prefill against small pages (tile spans several pages, round-3)."""
+    key = jax.random.PRNGKey(19)
+    b, h, h_k, d = 2, 4, 2, 64
+    pages_per_seq = 256 // page_size
+    s_ctx = 3 * 256 // 4
+    num_pages = b * pages_per_seq + 2
+    sq = 64
+    q = jax.random.normal(key, (b, sq, h, d), jnp.bfloat16)
+    kp = jax.random.normal(jax.random.PRNGKey(1),
+                           (num_pages, h_k, page_size, d), jnp.bfloat16)
+    vp = jax.random.normal(jax.random.PRNGKey(2),
+                           (num_pages, h_k, page_size, d), jnp.bfloat16)
+    perm = jax.random.permutation(jax.random.PRNGKey(3), num_pages)
+    table = perm[: b * pages_per_seq].reshape(b, pages_per_seq)
+    seqused_q = jnp.array([sq, sq - 7], jnp.int32)
+    seqlens_k = jnp.array([s_ctx, s_ctx - 31], jnp.int32)
+
+    from flash_attn_tpu.kernels.flash_paged_prefill import (
+        flash_attention_paged_prefill)
+    out, lse = flash_attention_paged_prefill(
+        q, kp, vp, seqused_q, seqlens_k, table, causal=True, interpret=True)
+
+    s_max = page_size * pages_per_seq
+    k_lin = (kp[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    v_lin = (vp[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    from flash_attn_tpu import flash_attn_func
+    for i in range(b):
+        n = int(seqused_q[i])
+        sk = int(seqlens_k[i])
+        ref = flash_attn_func(q[i:i + 1, :n], k_lin[i:i + 1, :sk],
+                              v_lin[i:i + 1, :sk], causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out[i, :n], np.float32),
+            np.asarray(ref[0], np.float32), atol=3e-2, rtol=3e-2,
+            err_msg=f"page={page_size} seq {i}")
