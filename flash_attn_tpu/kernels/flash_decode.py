@@ -552,6 +552,10 @@ def flash_attention_decode(
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # large KV tiles put the fp8->bf16 cast copies + score temps on
+            # the kernel stack past the default 16 MiB scoped limit
+            # (measured 21.49M at block_k=1024 fp8) — v5e has ~128 MiB
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(seqlens, leftpad, bidx, ptab, *inputs)

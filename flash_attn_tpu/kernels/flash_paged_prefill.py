@@ -380,6 +380,10 @@ def flash_attention_paged_prefill(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # large KV tiles put the fp8->bf16 cast copies + score temps on
+            # the kernel stack past the default 16 MiB scoped limit
+            # (measured 21.49M at block_k=1024 fp8) — v5e has ~128 MiB
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(seqused_q.astype(jnp.int32), cache_seqlens.astype(jnp.int32),
