@@ -50,34 +50,61 @@ def _decode_kernel(
     block_k, rows_pad, seqlen_q, group, num_splits, max_tiles, num_heads_kv,
     scale_log2, softcap, causal, window_left, window_right,
     has_alibi, paged, num_pages, has_descale, pages_per_tile, table_width,
+    seqs_per_step,
 ):
-    """All KV heads are processed per grid step: one strided DMA fetches the
-    (h_k, block_k, d) slab (8x fewer, 8x larger transfers than per-head
-    fetching), and a static per-head loop runs the online softmax.
+    """All KV heads AND a group of `seqs_per_step` sequences are processed
+    per grid step, flattened into ONE (seqs*kv_heads) leading axis (Mosaic
+    matmuls take at most one batch dim): the per-tile softmax/matmul ops
+    run as single dispatches over (g*h_k*rows_pad, block_k)-sized tensors,
+    so small-batch decode stops being per-op-dispatch bound (round-3
+    measured: b=8 fp8 4k-ctx decode was ~64 sequential tile bodies x
+    ~17us = 1.1 ms against a 0.10 ms HBM floor). Each sequence keeps its
+    own KV DMAs (unrolled, all in flight) and its own length/window masks,
+    built from per-seq scalars expanded head-wise once per grid step.
 
     NOTE an in-kernel cache append (new K/V rows DMA'd into aliased cache
     outputs at the dynamic position, replacing the XLA scatter) was built
     and REMOVED: the dynamic-destination VMEM->HBM copy into an aliased
     ANY output sent the Mosaic compile past 20 minutes (same pathology
     family as scalar-prefetch reads in index maps, DESIGN.md). The append
-    stays an XLA scatter in cache/kvcache.py with unique_indices hints."""
+    is an unrolled in-place DUS chain in cache/kvcache.py."""
     refs = list(refs)
+    # (2, g*h_k, 128) int32 VMEM: [0]=seqlens, [1]=leftpad, head-expanded
+    # and lane-replicated (vector reads; building vectors from SMEM scalar
+    # stacks lowers to an unsupported gather)
+    meta_ref = refs.pop(0)
     slopes_ref = refs.pop(0) if has_alibi else None
-    # (2, 1, h_k, 128) VMEM: [0]=q_descale*k_descale, [1]=v_descale,
-    # lane-replicated so the batched-head path reads them as vectors.
+    # (2, g*h_k, 128) VMEM: [0]=q_descale*k_descale, [1]=v_descale,
+    # lane-replicated so the batched path reads them as vectors.
     descale_ref = refs.pop(0) if has_descale else None
     (q_ref, kc_ref, vc_ref, outp_ref, lsep_ref,
      kbuf, vbuf, sems, acc, m_s, l_s) = refs
 
-    b_idx = pl.program_id(0)
+    g_idx = pl.program_id(0)
     split = pl.program_id(1)
+    G = seqs_per_step
     H = num_heads_kv
+    GH = G * H
 
-    sk = seqlens_ref[b_idx]
-    leftpad = leftpad_ref[b_idx]
-    row = batch_idx_ref[b_idx]
-    sk_eff = sk - leftpad
-    tiles_total = (sk + block_k - 1) // block_k
+    if G == 1:
+        # single sequence per step: SCALAR lengths, masks computed once in
+        # (rows_pad, block_k) and broadcast across heads — per-head mask
+        # vectors cost 9% of the whole decode step (measured)
+        sk_v = seqlens_ref[g_idx]
+        leftpad_v = leftpad_ref[g_idx]
+        sk_eff_v = sk_v - leftpad_v
+        sk_grp = sk_v
+    else:
+        sk_v = meta_ref[0][:, :1].reshape(GH, 1, 1)
+        leftpad_v = meta_ref[1][:, :1].reshape(GH, 1, 1)
+        sk_eff_v = sk_v - leftpad_v
+        # group tile range = the max over the group's lengths (shorter
+        # seqs are masked per tile); splits partition that range — a
+        # chain of SCALAR maxima over SMEM reads
+        sk_grp = seqlens_ref[g_idx * G]
+        for _i in range(1, G):
+            sk_grp = jnp.maximum(sk_grp, seqlens_ref[g_idx * G + _i])
+    tiles_total = (sk_grp + block_k - 1) // block_k
     kps = (tiles_total + num_splits - 1) // num_splits  # tiles per split
     t_lo = split * kps
     t_hi = jnp.minimum(tiles_total, t_lo + kps)
@@ -87,55 +114,58 @@ def _decode_kernel(
     l_s[...] = jnp.zeros_like(l_s)
 
     def k_dma(slot, t):
-        """Returns the list of async copies filling (k, v) buffer `slot`
-        for KV tile `t`. Paged tiles span `pages_per_tile` pages: one
-        unrolled DMA per page into adjacent sub-slabs of the tile buffer,
+        """Async copies filling (k, v) buffer `slot` for KV tile `t` of
+        every sequence in the group. Paged tiles span `pages_per_tile`
+        pages: one unrolled DMA per (seq, page) into adjacent sub-slabs,
         all in flight concurrently — the reference's PagedKVManager
         staggering (hopper/paged_kv.h:19-22), which is what lets small
-        pages (16/64) serve at full bandwidth instead of one
-        latency-bound page DMA per tile."""
+        pages (16/64) serve at full bandwidth."""
+        copies = []
         if paged:
             ps = block_k // pages_per_tile
-            copies = []
-            for p in range(pages_per_tile):
-                ent = jnp.minimum(t * pages_per_tile + p, table_width - 1)
-                page = jnp.clip(page_tab_ref[b_idx, ent], 0, num_pages - 1)
-                copies.append(pltpu.make_async_copy(
-                    kc_ref.at[page], kbuf.at[slot, :, p * ps:(p + 1) * ps],
-                    sems.at[slot, 0, p]))
-                copies.append(pltpu.make_async_copy(
-                    vc_ref.at[page], vbuf.at[slot, :, p * ps:(p + 1) * ps],
-                    sems.at[slot, 1, p]))
+            for i in range(G):
+                for p in range(pages_per_tile):
+                    ent = jnp.minimum(t * pages_per_tile + p, table_width - 1)
+                    page = jnp.clip(page_tab_ref[g_idx * G + i, ent],
+                                    0, num_pages - 1)
+                    copies.append(pltpu.make_async_copy(
+                        kc_ref.at[page],
+                        kbuf.at[slot, i * H:(i + 1) * H,
+                                p * ps:(p + 1) * ps],
+                        sems.at[slot, 0, i, p]))
+                    copies.append(pltpu.make_async_copy(
+                        vc_ref.at[page],
+                        vbuf.at[slot, i * H:(i + 1) * H,
+                                p * ps:(p + 1) * ps],
+                        sems.at[slot, 1, i, p]))
             return copies
         off = pl.multiple_of(t * block_k, block_k)
-        src_k = kc_ref.at[row, :, pl.ds(off, block_k)]
-        src_v = vc_ref.at[row, :, pl.ds(off, block_k)]
-        return [
-            pltpu.make_async_copy(src_k, kbuf.at[slot], sems.at[slot, 0, 0]),
-            pltpu.make_async_copy(src_v, vbuf.at[slot], sems.at[slot, 1, 0]),
-        ]
+        for i in range(G):
+            row = batch_idx_ref[g_idx * G + i]
+            copies.append(pltpu.make_async_copy(
+                kc_ref.at[row, :, pl.ds(off, block_k)],
+                kbuf.at[slot, i * H:(i + 1) * H], sems.at[slot, 0, i, 0]))
+            copies.append(pltpu.make_async_copy(
+                vc_ref.at[row, :, pl.ds(off, block_k)],
+                vbuf.at[slot, i * H:(i + 1) * H], sems.at[slot, 1, i, 0]))
+        return copies
 
     @pl.when(t_lo < t_hi)
     def _prologue():
         for c in k_dma(0, t_lo):
             c.start()
 
-    # Queries for ALL kv heads at once: (h_k, rows_pad, d). Every per-tile
-    # op below is batched over the head axis — one Mosaic op dispatch on a
-    # (h_k*rows_pad, block_k)-sized tensor instead of h_k dispatches on tiny
-    # (rows_pad, block_k) tiles (the round-1 per-head loop was dispatch-
-    # overhead-bound: ~17x off the HBM bound at 4k ctx).
-    qs = q_ref[0]  # (h_k, rows_pad, d)
+    qs = q_ref[...]  # (GH, rows_pad, d)
     if has_descale:
         qs = qs.astype(jnp.bfloat16)
     qs = (qs.astype(jnp.float32) * scale_log2).astype(qs.dtype)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 1)
-    tok = rows_i // group
-    shift = sk_eff - seqlen_q
+    tok_2d = rows_i // group                    # (rows_pad, block_k)
+    tok = tok_2d if G == 1 else tok_2d[None]
+    shift_v = sk_eff_v - seqlen_q               # scalar | (GH, 1, 1)
     if has_descale:
-        # (h_k, 1, 1) broadcast scalars built once per grid step.
-        qkd = descale_ref[0, 0][:, :1].reshape(H, 1, 1)
+        qkd = descale_ref[0][:, :1].reshape(GH, 1, 1)
 
     def tile_compute(t, slot):
         # NOTE: buffer/semaphore slots are STATIC python ints — dynamic
@@ -143,32 +173,32 @@ def _decode_kernel(
         for c in k_dma(slot, t):
             c.wait()
 
-        cols = t * block_k + cols_i
-        pos_k = cols - leftpad
-        col_ok = jnp.logical_and(cols < sk, cols >= leftpad)
-        vmask = jnp.logical_and(
-            jax.lax.broadcasted_iota(jnp.int32, (1, block_k, 1), 1)
-            + t * block_k < sk,
-            jax.lax.broadcasted_iota(jnp.int32, (1, block_k, 1), 1)
-            + t * block_k >= leftpad,
-        )
+        cols2 = t * block_k + cols_i            # (rows_pad, block_k)
+        cols = cols2 if G == 1 else cols2[None]
+        pos_k = cols - leftpad_v
+        col_ok = jnp.logical_and(cols < sk_v, cols >= leftpad_v)
+        col1 = jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k, 1), 1) + t * block_k
+        vmask = jnp.logical_and(col1 < sk_v, col1 >= leftpad_v)
         wr = 0 if causal else window_right
         valid = col_ok
         if causal or wr is not None:
-            valid = jnp.logical_and(valid, pos_k <= tok + shift + wr)
+            valid = jnp.logical_and(valid, pos_k <= tok + shift_v + wr)
         if window_left is not None:
-            valid = jnp.logical_and(valid, pos_k >= tok + shift - window_left)
-        valid = valid[None]  # (1, rows_pad, block_k)
+            valid = jnp.logical_and(
+                valid, pos_k >= tok + shift_v - window_left)
+        if G == 1:
+            valid = valid[None]                 # shared across heads
 
-        k = kbuf[slot]  # (h_k, block_k, d)
+        k = kbuf[slot]  # (GH, block_k, d)
         v = vbuf[slot]
         if has_descale:
             k = k.astype(jnp.bfloat16)
             v = v.astype(jnp.bfloat16)
         v = jnp.where(vmask, v, 0)
 
-        # Batched over heads: (h_k, rows_pad, d) x (h_k, block_k, d)
-        # -> (h_k, rows_pad, block_k)
+        # ONE batched matmul for the whole group x heads:
+        # (GH, rows_pad, d) x (GH, block_k, d) -> (GH, rows_pad, block_k)
         s2 = jax.lax.dot_general(
             qs, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -180,16 +210,16 @@ def _decode_kernel(
             s2 = s2 * qkd
 
         if has_alibi:
-            slope = slopes_ref[0]  # (h_k, rows_pad, 1)
+            slope = slopes_ref[...]  # (GH, rows_pad, 1)
             if causal:
-                bias = (pos_k - (sk_eff - 1)).astype(jnp.float32)
+                bias = (pos_k - (sk_eff_v - 1)).astype(jnp.float32)
             else:
-                bias = -jnp.abs(tok + shift - pos_k).astype(jnp.float32)
-            s2 = s2 + slope * LOG2E * bias[None]
+                bias = -jnp.abs(tok + shift_v - pos_k).astype(jnp.float32)
+            s2 = s2 + slope * LOG2E * (bias if G > 1 else bias[None])
 
         s2 = jnp.where(valid, s2, NEG_INF)
 
-        m_prev = m_s[...]  # (h_k, rows_pad, 128)
+        m_prev = m_s[...]  # (GH, rows_pad, 128)
         l_prev = l_s[...]
         row_max = jnp.max(s2, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(row_max, m_prev.shape))
@@ -199,7 +229,7 @@ def _decode_kernel(
         row_sum = jnp.sum(p, axis=-1, keepdims=True)
         l_s[...] = l_prev * corr + jnp.broadcast_to(row_sum, l_prev.shape)
         m_s[...] = m_new
-        # (h_k, rows_pad, block_k) x (h_k, block_k, dv) -> (h_k, rows_pad, dv)
+        # (GH, rows_pad, block_k) x (GH, block_k, dv) -> (GH, rows_pad, dv)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -231,14 +261,14 @@ def _decode_kernel(
     num_pairs = (t_hi - t_lo + 1) // 2
     jax.lax.fori_loop(0, num_pairs, pair_body, 0)
 
-    m = m_s[:, :, :1]  # (h_k, rows_pad, 1)
+    m = m_s[:, :, :1]  # (GH, rows_pad, 1)
     l = l_s[:, :, :1]
     lse = m * LN2 + jnp.log(l)  # -inf when the split saw nothing
     inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
     if has_descale:
-        inv_l = inv_l * descale_ref[1, 0][:, :1].reshape(H, 1, 1)
-    outp_ref[0, 0] = acc[...] * inv_l
-    lsep_ref[0, 0] = lse
+        inv_l = inv_l * descale_ref[1][:, :1].reshape(GH, 1, 1)
+    outp_ref[0] = acc[...] * inv_l
+    lsep_ref[0] = lse
 
 
 @functools.partial(
@@ -449,6 +479,29 @@ def flash_attention_decode(
         table_width = 1
     dv = v_cache.shape[-1]
     group = h // h_k
+    # Sequences per grid step. MEASURED NEGATIVE on v5e (round 3): batching
+    # the per-tile ops over g>1 sequences made fp8 4k-ctx decode SLOWER
+    # (g=4: 1.254 ms vs g=1: 1.106) — the per-tile body cost is data-
+    # proportional (VPU/MXU throughput on the masks and 8-row matmuls),
+    # not fixed dispatch latency, so widening tensors buys nothing and
+    # costs scoped VMEM (Mosaic stacks ~14 live bf16-sized copies of the
+    # (g*h_k, block_k, d) tile tensors; 118.68M at g=8 fp8). Kept as an
+    # env knob for other TPU generations; the kernel is written in the
+    # flat (g*h_k) form either way.
+    import os
+    g = 1
+    g_env = int(os.environ.get("FA_DECODE_SEQS", "1"))
+    if g_env > 1:
+        for cand in (g_env, 8, 4, 2):
+            scoped_est = 14 * cand * h_k * bk * max(d, dv) * 2
+            slab = 2 * 2 * cand * h_k * bk * (d + dv) * max(
+                2, jnp.dtype(k_cache.dtype).itemsize)
+            if (cand <= g_env and b % cand == 0
+                    and scoped_est <= 88 * 1024 * 1024
+                    and slab <= 40 * 1024 * 1024
+                    and cand * (ppt if paged else 1) <= 32):
+                g = cand
+                break
     assert not ((q_descale is not None or k_descale is not None)
                 and softcap > 0.0), "softcap + FP8 descale unsupported"
     if softmax_scale is None:
@@ -475,14 +528,23 @@ def flash_attention_decode(
 
     in_specs = []
     inputs = []
+    # per-(seq, head) int32 metadata vectors (see kernel meta_ref note)
+    meta = jnp.broadcast_to(
+        jnp.stack([
+            jnp.repeat(seqlens, h_k),
+            jnp.repeat(leftpad, h_k),
+        ])[..., None], (2, b * h_k, 128))
+    in_specs.append(pl.BlockSpec(
+        (2, g * h_k, 128), lambda b_, s, *_: (0, b_, 0)))
+    inputs.append(meta)
     if alibi_slopes is not None:
         r = jnp.arange(rows_pad) % group
         heads = (jnp.arange(h_k)[:, None] * group
                  + jnp.minimum(r, group - 1)[None, :])
         slopes_packed = alibi_slopes.astype(jnp.float32)[:, heads]
         in_specs.append(pl.BlockSpec(
-            (1, h_k, rows_pad, 1), lambda b_, s, *_: (b_, 0, 0, 0)))
-        inputs.append(slopes_packed[..., None])
+            (g * h_k, rows_pad, 1), lambda b_, s, *_: (b_, 0, 0)))
+        inputs.append(slopes_packed.reshape(b * h_k, rows_pad)[..., None])
     has_descale = (q_descale is not None or k_descale is not None
                    or v_descale is not None)
     if has_descale:
@@ -493,38 +555,41 @@ def flash_attention_decode(
         # (2, b, h_k, 128): [0]=qd*kd, [1]=vd, lane-replicated for vector
         # reads in the batched-head kernel.
         descale = jnp.broadcast_to(
-            jnp.stack([qd * kd, vd])[..., None], (2, b, h_k, 128))
+            jnp.stack([qd * kd, vd])[..., None],
+            (2, b, h_k, 128)).reshape(2, b * h_k, 128)
         in_specs.append(pl.BlockSpec(
-            (2, 1, h_k, 128), lambda b_, s, *_: (0, b_, 0, 0)))
+            (2, g * h_k, 128), lambda b_, s, *_: (0, b_, 0)))
         inputs.append(descale)
     in_specs += [
-        pl.BlockSpec((1, h_k, rows_pad, d), lambda b_, s, *_: (b_, 0, 0, 0)),
+        pl.BlockSpec((g * h_k, rows_pad, d), lambda b_, s, *_: (b_, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),      # k cache stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),      # v cache stays in HBM
     ]
-    inputs += [qp, k_cache, v_cache]
+    inputs += [qp.reshape(b * h_k, rows_pad, d), k_cache, v_cache]
 
     out_specs = [
-        pl.BlockSpec((1, 1, h_k, rows_pad, dv),
-                     lambda b_, s, *_: (s, b_, 0, 0, 0)),
-        pl.BlockSpec((1, 1, h_k, rows_pad, 1),
-                     lambda b_, s, *_: (s, b_, 0, 0, 0)),
+        pl.BlockSpec((1, g * h_k, rows_pad, dv),
+                     lambda b_, s, *_: (s, b_, 0, 0)),
+        pl.BlockSpec((1, g * h_k, rows_pad, 1),
+                     lambda b_, s, *_: (s, b_, 0, 0)),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, dv), jnp.float32),
-        jax.ShapeDtypeStruct((num_splits, b, h_k, rows_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((num_splits, b * h_k, rows_pad, dv),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((num_splits, b * h_k, rows_pad, 1),
+                             jnp.float32),
     ]
     scratch_shapes = [
-        pltpu.VMEM((2, h_k, bk, d), k_cache.dtype),   # K double buffer
-        pltpu.VMEM((2, h_k, bk, dv), v_cache.dtype),  # V double buffer
-        pltpu.SemaphoreType.DMA((2, 2, ppt)),
-        pltpu.VMEM((h_k, rows_pad, dv), jnp.float32),
-        pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
-        pltpu.VMEM((h_k, rows_pad, 128), jnp.float32),
+        pltpu.VMEM((2, g * h_k, bk, d), k_cache.dtype),   # K double buffer
+        pltpu.VMEM((2, g * h_k, bk, dv), v_cache.dtype),  # V double buffer
+        pltpu.SemaphoreType.DMA((2, 2, g, ppt)),
+        pltpu.VMEM((g * h_k, rows_pad, dv), jnp.float32),
+        pltpu.VMEM((g * h_k, rows_pad, 128), jnp.float32),
+        pltpu.VMEM((g * h_k, rows_pad, 128), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, num_splits),
+        grid=(b // g, num_splits),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
@@ -538,13 +603,15 @@ def flash_attention_decode(
         window_left=window_left, window_right=window_right,
         has_alibi=alibi_slopes is not None, paged=paged, num_pages=num_pages,
         has_descale=has_descale, pages_per_tile=ppt, table_width=table_width,
+        seqs_per_step=g,
     )
 
     from flash_attn_tpu.utils.fa_logging import log_kernel_launch
     log_kernel_launch(
         "flash_decode", blocks={"kv": (bk,)},
         num_splits=num_splits, paged=paged, rows_pad=rows_pad,
-        heads_kv=h_k, max_tiles=max_tiles, pages_per_tile=ppt)
+        heads_kv=h_k, max_tiles=max_tiles, pages_per_tile=ppt,
+        seqs_per_step=g)
 
     outp, lsep = pl.pallas_call(
         kernel,
@@ -559,6 +626,8 @@ def flash_attention_decode(
         ),
         interpret=interpret,
     )(seqlens, leftpad, bidx, ptab, *inputs)
+    outp = outp.reshape(num_splits, b, h_k, rows_pad, dv)
+    lsep = lsep.reshape(num_splits, b, h_k, rows_pad, 1)
 
     out_p, lse_p = combine_splits(outp, lsep[..., 0])
     out_p = out_p[:, :, :rows]
