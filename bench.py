@@ -104,10 +104,10 @@ def bench_fwd_causal(peak):
     return flops / t / 1e12, t
 
 
-def bench_bwd(peak):
+def bench_bwd(peak, s=4096, b=4):
     from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 
-    b, s, h, d = 4, 4096, 16, 128
+    h, d = 16, 128
     key = jax.random.PRNGKey(1)
     q = jax.random.normal(key, (b, s, h, d), jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d), jnp.bfloat16)
@@ -351,6 +351,15 @@ def main():
         note(f"bwd done {bwd_tf:.1f}")
     except Exception as e:  # pragma: no cover
         result["bwd_error"] = f"{type(e).__name__}"
+    try:
+        # same-seqlen-as-fwd convention (the reference benches fwd and bwd
+        # at one seqlen, hopper/benchmark_attn.py); the seq4k number above
+        # stays for round-over-round comparability
+        bwd8_tf, _ = bench_bwd(peak, s=8192, b=2)
+        result["bwd_seq8k_tflops"] = round(bwd8_tf, 2)
+        note(f"bwd seq8k done {bwd8_tf:.1f}")
+    except Exception as e:  # pragma: no cover
+        result["bwd_seq8k_error"] = f"{type(e).__name__}"
     if os.environ.get("FA_TPU_BENCH_DECODE", "1") == "1":
         try:
             dec_tps, dec_t = bench_decode_fp8_paged()

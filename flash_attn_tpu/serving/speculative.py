@@ -31,7 +31,8 @@ from flash_attn_tpu.serving.generation import GenerationConfig, sample_token
 __all__ = ["decode_speculative", "sample_speculative"]
 
 
-def _filter_logits(logits, top_k: int, top_p: float, temperature: float):
+def _filter_logits(logits, top_k: int, top_p: float, temperature: float,
+                   min_p: float = 0.0):
     logits = logits.astype(jnp.float32)
     if temperature != 1.0:
         logits = logits / temperature
@@ -45,12 +46,19 @@ def _filter_logits(logits, top_k: int, top_p: float, temperature: float):
         cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    if min_p > 0.0:
+        # drop tokens with p < min_p * p_max (generation.py sample_token
+        # semantics); applied to BOTH target and draft distributions so
+        # the probability-ratio acceptance keeps target-equivalence
+        probs = jax.nn.softmax(logits, axis=-1)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        logits = jnp.where(probs < min_p * pmax, -jnp.inf, logits)
     return logits
 
 
 def sample_speculative(logits, logits_draft, tokens_draft, key,
                        top_k: int = 1, top_p: float = 0.0,
-                       temperature: float = 1.0):
+                       temperature: float = 1.0, min_p: float = 0.0):
     """Vectorized speculative acceptance (reference generation.py:209).
 
     Arguments:
@@ -63,8 +71,8 @@ def sample_speculative(logits, logits_draft, tokens_draft, key,
     """
     b, k1, vocab = logits.shape
     k = k1 - 1
-    lt = _filter_logits(logits, top_k, top_p, temperature)
-    ld = _filter_logits(logits_draft, top_k, top_p, temperature)
+    lt = _filter_logits(logits, top_k, top_p, temperature, min_p)
+    ld = _filter_logits(logits_draft, top_k, top_p, temperature, min_p)
     pt = jax.nn.softmax(lt, axis=-1)          # (b, k+1, v)
     pd = jax.nn.softmax(ld, axis=-1)          # (b, k, v)
 
@@ -122,7 +130,6 @@ def decode_speculative(
     b, prompt_len = input_ids.shape
     max_len = cfg.max_length
     k = speculative_k
-    assert cfg.min_p == 0.0, "speculative: min_p filtering not supported"
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     def _prefill(model):
@@ -147,7 +154,7 @@ def decode_speculative(
 
     sample_fn = jax.jit(lambda lt, ld, td, key: sample_speculative(
         lt, ld, td, key, top_k=cfg.top_k, top_p=cfg.top_p,
-        temperature=cfg.temperature))
+        temperature=cfg.temperature, min_p=cfg.min_p))
 
     logits_last, t_cache = t_prefill(target_params, input_ids)
     # Draft-cache convention: at every round start it holds KV for
@@ -162,7 +169,8 @@ def decode_speculative(
     else:
         first_tok = jax.random.categorical(
             key0, _filter_logits(logits_last, cfg.top_k, cfg.top_p,
-                                 cfg.temperature), axis=-1).astype(jnp.int32)
+                                 cfg.temperature, cfg.min_p),
+            axis=-1).astype(jnp.int32)
     num_target_calls = 1
 
     # Host-side sequence assembly (per-row ragged commits).

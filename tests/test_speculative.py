@@ -115,3 +115,19 @@ def test_speculative_sampling_runs_and_terminates():
     assert seqs.shape == (2, 18)
     assert int(seqs.max()) < 64 and int(seqs.min()) >= 0
     assert n_calls >= 2
+
+
+def test_speculative_min_p_runs_and_terminates():
+    """min_p filtering composes with speculative decoding (round-3: the
+    filter applies to both target and draft distributions, preserving the
+    probability-ratio acceptance's target-equivalence)."""
+    tm, tp = _make(96, 2, 64, 4, jax.random.PRNGKey(0))
+    dm, dp = _make(96, 1, 32, 2, jax.random.PRNGKey(1))
+    cfg = GenerationConfig(max_length=16, top_k=0, top_p=0.0,
+                           min_p=0.1, temperature=0.9)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 6), 0, 96)
+    seqs, calls = decode_speculative(ids, tm, tp, dm, dp, cfg,
+                                     speculative_k=3,
+                                     rng=jax.random.PRNGKey(7))
+    assert seqs.shape[1] == 16
+    assert (np.asarray(seqs) >= 0).all() and (np.asarray(seqs) < 96).all()
