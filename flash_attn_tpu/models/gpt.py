@@ -76,6 +76,10 @@ class GPTConfig:
     # WITHOUT activation checkpointing on 80 GB parts (README.md:527-530);
     # a 16 GB v5e needs it for ~1B-param training at seq 2k+.
     remat: bool = False
+    # 'full' recomputes everything; 'dots' saves matmul outputs with no
+    # batch dims (jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    # — usually the transformer sweet spot between memory and recompute)
+    remat_policy: str = "full"
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -203,7 +207,10 @@ class GPTModel(nn.Module):
                          **mixer_kwargs)
 
         if cfg.remat and mode == "train":
-            block_fn = nn.remat(block_fn)
+            policy = (jax.checkpoint_policies
+                      .checkpoint_dots_with_no_batch_dims
+                      if cfg.remat_policy == "dots" else None)
+            block_fn = nn.remat(block_fn, policy=policy)
         for block in self.layers:
             hidden, residual = block_fn(block, hidden, residual)
         if residual is not None:

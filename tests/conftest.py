@@ -56,10 +56,12 @@ _SLOW = {
     # smoke-covered hot path everywhere else)
     "test_training.py": ["test_train_steps_and_resume",
                          "test_zero2_matches_baseline",
-                         "test_loss_scaler_skips_overflow_and_grows"],
+                         "test_loss_scaler_skips_overflow_and_grows",
+                         "test_causality_monitor"],
     "test_speculative.py": ["test_speculative_greedy_equivalence",
                             "test_speculative_batched_greedy_equivalence",
-                            "test_speculative_perfect_draft"],
+                            "test_speculative_perfect_draft",
+                            "test_speculative_sampling_runs"],
     "test_engine.py": ["test_engine_token_budgeted_admission",
                        "test_engine_slot_reuse_and_mixed_lengths",
                        "test_engine_matches_standalone_decode",
@@ -77,7 +79,9 @@ _SLOW = {
     "test_flash_attn_varlen.py": ["test_varlen_backward[mha-False]",
                                   "test_varlen_local_alibi_softcap",
                                   "test_varlen_scheduler_metadata_consumed",
-                                  "test_varlen_output[257-320-64-False-mha]"],
+                                  "test_varlen_output[257-320-64-False-mha]",
+                                  "test_varlen_output[257-320-64-True-mha]",
+                                  "test_varlen_output[128-217-128-False-mha]"],
     "test_overflow.py": ["test_bwd_overflow[97-64-False]",
                          "test_bwd_overflow[579-64-False]"],
     "test_paged_prefill.py": ["test_varlen_paged_prefill_matches_full[gqa",
@@ -85,7 +89,17 @@ _SLOW = {
                               "test_paged_prefill_dense_entrypoint_lse"],
     "test_kvcache.py": ["test_kvcache_paged_long_context_chunking",
                         "test_kvcache_append[True-False]",
-                        "test_kvcache_paged_batch_chunking"],
+                        "test_kvcache_paged_batch_chunking",
+                        "test_kvcache_paged_small_pages[16-24]"],
+    "test_llama.py": ["test_llama_logits_match_hf"],
+    "test_sparse_mla.py": ["test_sparse_mla_fwd_absorbed_shapes",
+                           "test_sparse_mla_grads[False-True]",
+                           "test_sparse_mla_grads[True-False]"],
+    "test_bwd_layouts.py": ["test_fused_vs_twokernel_grads[192-320-4-2-128-False]",
+                            "test_fused_vs_twokernel_grads[256-256-2-2-64-False]",
+                            "test_fused_vs_twokernel_grads[256-256-4-4-128-True]"],
+    "test_chunked_prefill.py": ["test_chunked_prefill_equals_full_attention"],
+    "test_robustness.py": ["test_bwd_overflow_large_inputs[10.0]"],
     "test_flash_attn.py": ["test_flash_attn_backward[128-217-64-False-mha]",
                            "test_flash_attn_backward[384-256-64-False-mha]",
                            "test_flash_attn_backward[128-217-128-False-mha]",
