@@ -61,9 +61,12 @@ def kv_cache_update(
     dsl = jax.lax.dynamic_slice
 
     def _rows(fn_at):
-        """Apply per-row DUS appends; unrolled for small static batches."""
+        """Apply per-row DUS appends; unrolled for small static batches
+        on TPU (the in-place no-loop-sync fast path); the CPU/test backend
+        keeps the fori form — the unrolled chain doubles interpret-mode
+        trace+compile time for zero benefit there."""
         kc, vc = k_cache, v_cache
-        if b <= 256:
+        if b <= 256 and jax.default_backend() != "cpu":
             for i in range(b):
                 at = fn_at(i)
                 kc = dus(kc, dsl(k_src, (i, 0, 0, 0), (1, h_k, s_new, d)), at)
