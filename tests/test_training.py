@@ -207,3 +207,68 @@ def test_loss_scaler_skips_overflow_and_grows(token_file):
     logs2 = []
     tr2.fit(LMDataLoader(ds, 4), steps=3, log_fn=logs2.append)
     assert logs2[-1]["loss_scale"] == 512.0
+
+
+def test_image_dataloader_resume_and_vit_train_step(tmp_path):
+    """Vision data path (reference training/src/datamodules/imagenet.py
+    analogue): mmap image+label caches, fault-tolerant sampler with
+    exactly-replayable flip augmentation, and an end-to-end ViT train
+    step (loss decreases)."""
+    import optax
+
+    from flash_attn_tpu.models.vit import ViTConfig, VisionTransformer
+    from flash_attn_tpu.training.data import (
+        FaultTolerantSampler,
+        ImageDataLoader,
+        ImageDataset,
+    )
+
+    n, H, W, C, classes = 32, 16, 16, 3, 4
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (n, H, W, C), np.uint8)
+    labels = (imgs.astype(np.int64).sum((1, 2, 3)) % classes).astype(np.int32)
+    ip, lp = tmp_path / "imgs.bin", tmp_path / "labels.bin"
+    imgs.tofile(ip)
+    labels.tofile(lp)
+
+    ds = ImageDataset(str(ip), str(lp), (H, W, C))
+    dl = ImageDataLoader(ds, batch_size=8,
+                         sampler=FaultTolerantSampler(n, seed=3))
+
+    # exact-batch resume incl. the flip augmentation
+    it = iter(dl)
+    b1 = next(it)
+    state = dl.state_dict()
+    b2 = next(it)
+    dl2 = ImageDataLoader(ds, batch_size=8,
+                          sampler=FaultTolerantSampler(n, seed=3))
+    dl2.load_state_dict(state)
+    b2r = next(iter(dl2))
+    np.testing.assert_array_equal(b2[0], b2r[0])
+    np.testing.assert_array_equal(b2[1], b2r[1])
+
+    cfg = ViTConfig(img_size=H, patch_size=4, embed_dim=32, depth=1,
+                    num_heads=2, num_classes=classes, dtype=jnp.float32)
+    model = VisionTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(b1[0]))["params"]
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, imgs, labels):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, imgs)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    it = iter(dl)
+    for _ in range(8):
+        imgs_b, labels_b = next(it)
+        params, opt, loss = step(params, opt, jnp.asarray(imgs_b),
+                                 jnp.asarray(labels_b))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
