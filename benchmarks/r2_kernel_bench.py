@@ -48,15 +48,17 @@ def fwd_causal(bq=None, bk=None):
           flush=True)
 
 
-def fwd_noncausal():
+def fwd_noncausal(bq=None, bk=None):
     from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
     b, h, s, d = 4, 16, 8192, 128
     q, k, v = make_qkv(b, h, s, d)
     fn = jax.jit(lambda q, k, v: flash_attention_fwd(
-        q, k, v, causal=False, return_lse=True)[0])
+        q, k, v, causal=False, return_lse=True,
+        block_q=bq, block_k=bk)[0])
     t = bench_fn(fn, q, k, v)
     tf = 4.0 * b * h * s * s * d / t / 1e12
-    print(f"fwd non-causal seq8k: {tf:.1f} TF/s ({t*1e3:.2f} ms)", flush=True)
+    print(f"fwd non-causal seq8k bq={bq} bk={bk}: {tf:.1f} TF/s "
+          f"({t*1e3:.2f} ms)", flush=True)
 
 
 def bwd_fused(bq=None, bk=None, causal=True, s=4096):
@@ -171,7 +173,7 @@ if __name__ == "__main__":
     if what in ("fwd", "all"):
         fwd_causal(bq, bk)
     if what == "fwdnc":
-        fwd_noncausal()
+        fwd_noncausal(bq, bk)
     if what == "dec":
         decode_serving(b=bq or 64, ctx=bk or 576)
     if what == "fwds":

@@ -163,3 +163,48 @@ def test_chunked_slot_prefill_matches_full(model_and_params):
     np.testing.assert_array_equal(
         np.asarray(jnp.argmax(lg1[:, -1], -1)),
         np.asarray(jnp.argmax(lg2[:, -1], -1)))
+
+
+def test_engine_fp8_paged_crossing(model_and_params):
+    """FP8 KV cache x paged pool x continuous batching: the quantized
+    paged engine decodes greedily to the same tokens as the bf16 linear
+    engine on a low-entropy model (round-3 crossing; fp8 quantization can
+    flip near-ties, so the model here is the shared tiny fixture whose
+    logits gaps are large)."""
+    import dataclasses
+    from flash_attn_tpu.serving.engine import PagePool
+    from flash_attn_tpu.models.gpt import GPTLMHeadModel
+
+    model_lin, params = model_and_params
+    cfg_lin = model_lin.config
+    page_size = 64
+    max_pages_per_seq = (cfg_lin.max_decode_seqlen + page_size - 1) // page_size
+    num_pages = 2 * max_pages_per_seq + 2
+    cfg_q = dataclasses.replace(
+        cfg_lin, paged_kv_num_pages=num_pages,
+        paged_kv_page_size=page_size,
+        kv_cache_dtype=jnp.float8_e4m3fn, kv_cache_scale=1.0)
+    model_q = GPTLMHeadModel(cfg_q)
+
+    rng = np.random.default_rng(7)
+    jobs = [(rng.integers(0, 96, size=n).tolist(), m)
+            for n, m in [(5, 6), (4, 8)]]
+
+    eng_lin = InferenceEngine(model_lin, params, max_batch=2,
+                              gen_cfg=GenerationConfig(top_k=1))
+    ids1 = [eng_lin.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_lin = eng_lin.run()
+
+    pool = PagePool(num_pages, page_size, max_pages_per_seq, max_batch=2)
+    eng_q = InferenceEngine(model_q, params, max_batch=2,
+                            gen_cfg=GenerationConfig(top_k=1),
+                            page_pool=pool)
+    ids2 = [eng_q.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_q = eng_q.run()
+    # fp8 cache quantization: allow a small number of token divergences
+    total = mismatches = 0
+    for r1, r2 in zip(ids1, ids2):
+        a, b = res_lin[r1], res_q[r2]
+        total += len(a)
+        mismatches += sum(x != y for x, y in zip(a, b))
+    assert mismatches <= max(1, total // 4), (mismatches, total)

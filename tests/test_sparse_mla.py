@@ -154,3 +154,51 @@ def test_sparse_mla_all_invalid_row():
     out, lse = sparse_mla_fwd(q, k, v, qv, idx)
     assert np.abs(np.asarray(out[:, 0], np.float32)).max() == 0.0
     assert np.isneginf(np.asarray(lse[:, :, 0])).all()
+
+
+def test_sparse_mla_packed_varlen_pattern():
+    """Varlen usage (the reference's cu_seqlens sparse path,
+    cute/interface.py:2709-2716): pack sequences on the batch=1 token
+    axis; the INDEXER restricts each row's indices to its own sequence
+    (and causality), so the kernel runs with causal=False and -1
+    sentinels — outputs must equal per-sequence dense runs."""
+    d, dv, h, topk = 32, 16, 4, 8
+    lens_q = [12, 20]
+    lens_k = [24, 40]
+    cu_q = np.concatenate([[0], np.cumsum(lens_q)])
+    cu_k = np.concatenate([[0], np.cumsum(lens_k)])
+    total_q, total_k = cu_q[-1], cu_k[-1]
+    ks = jax.random.split(jax.random.PRNGKey(21), 4)
+    q = jax.random.normal(ks[0], (1, total_q, h, d))
+    k = jax.random.normal(ks[1], (1, total_k, 1, d))
+    v = jax.random.normal(ks[2], (1, total_k, 1, dv))
+    qv = jax.random.normal(ks[3], (1, total_q, h, dv))
+
+    # indexer: for packed row t of sequence s at local position p, pick
+    # up to topk GLOBAL positions within [cu_k[s], cu_k[s] + p_k] (causal)
+    rng = np.random.default_rng(5)
+    idx = np.full((1, total_q, topk), -1, np.int32)
+    for s in range(len(lens_q)):
+        for p in range(lens_q[s]):
+            t = cu_q[s] + p
+            hi = cu_k[s] + (lens_k[s] - lens_q[s]) + p + 1  # causal bound
+            n = min(topk, hi - cu_k[s])
+            idx[0, t, :n] = rng.choice(
+                np.arange(cu_k[s], hi), size=n, replace=False)
+    idx = jnp.asarray(idx)
+
+    out = flash_attn_sparse_mla_func(q, k, v, idx, qv=qv, causal=False)
+
+    # per-sequence dense comparison with LOCAL indices
+    scale = 1.0 / np.sqrt(d + dv)
+    for s in range(len(lens_q)):
+        qs_ = q[:, cu_q[s]:cu_q[s + 1]]
+        ks_ = k[:, cu_k[s]:cu_k[s + 1]]
+        vs_ = v[:, cu_k[s]:cu_k[s + 1]]
+        qvs = qv[:, cu_q[s]:cu_q[s + 1]]
+        loc = np.asarray(idx[:, cu_q[s]:cu_q[s + 1]])
+        loc = np.where(loc >= 0, loc - cu_k[s], -1)
+        ref = _dense_ref(qs_, ks_, vs_, qvs, jnp.asarray(loc), scale, False)
+        np.testing.assert_allclose(
+            np.asarray(out[:, cu_q[s]:cu_q[s + 1]], np.float32),
+            np.asarray(ref), atol=3e-4, rtol=1e-3, err_msg=f"seq {s}")
