@@ -50,8 +50,11 @@ def main():
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     # arg 4 = "fp8": store the decode KV cache in float8_e4m3fn (halves the
     # per-step cache read traffic, the decode throughput bound)
-    kv_dtype = (jnp.float8_e4m3fn
-                if len(sys.argv) > 4 and sys.argv[4] == "fp8" else None)
+    kv_dtype = None
+    if len(sys.argv) > 4 and sys.argv[4] == "fp8":
+        kv_dtype = jnp.float8_e4m3fn
+    elif len(sys.argv) > 4 and sys.argv[4] == "int8":
+        kv_dtype = jnp.int8
     prompt_len, gen_len = 512, 64
     cfg = config(size, prompt_len + gen_len + 8, kv_dtype)
     model = GPTLMHeadModel(cfg)
@@ -61,7 +64,7 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model={size} params={n_params/1e6:.1f}M batch={b} "
           f"prompt={prompt_len} prefill_chunk={chunk or b} "
-          f"kv_cache={'fp8' if kv_dtype is not None else 'bf16'}",
+          f"kv_cache={jnp.dtype(kv_dtype).name if kv_dtype else 'bf16'}",
           flush=True)
 
     @jax.jit
