@@ -142,10 +142,10 @@ def bench_bwd(peak, s=4096, b=4):
     return flops / t / 1e12, t
 
 
-def bench_decode_fp8_paged():
+def bench_decode_fp8_paged(dtype=None):
     from flash_attn_tpu import flash_attn_with_kvcache
 
-    FP8 = jnp.float8_e4m3fn
+    dtype = dtype or jnp.float8_e4m3fn
     # NOTE: larger (b, ctx) combos trigger a pathological Mosaic compile
     # (b=64/ctx=8k never finishes); this config is compile-verified.
     b, h, h_k, d = 8, 32, 8, 128
@@ -154,9 +154,9 @@ def bench_decode_fp8_paged():
     num_pages = b * ppseq
     q = jax.random.normal(jax.random.PRNGKey(0), (b, 1, h, d), jnp.bfloat16)
     kp = jax.random.normal(
-        jax.random.PRNGKey(1), (num_pages, h_k, page_size, d)).astype(FP8)
+        jax.random.PRNGKey(1), (num_pages, h_k, page_size, d)).astype(dtype)
     vp = jax.random.normal(
-        jax.random.PRNGKey(2), (num_pages, h_k, page_size, d)).astype(FP8)
+        jax.random.PRNGKey(2), (num_pages, h_k, page_size, d)).astype(dtype)
     table = jnp.arange(num_pages, dtype=jnp.int32).reshape(b, ppseq)
     seqlens = jnp.full((b,), ctx - 1, jnp.int32)
     kd = jnp.ones((b, h_k), jnp.float32)
@@ -368,6 +368,14 @@ def main():
             note("decode done")
         except Exception as e:  # pragma: no cover
             result["decode_error"] = f"{type(e).__name__}"
+        try:
+            # the platform-right quantized cache on v5e (fp8 converts are
+            # VPU-emulated there — DESIGN.md); fp8 stays for FA3 parity
+            i8_tps, i8_t = bench_decode_fp8_paged(dtype=jnp.int8)
+            result["decode_int8_paged_tokens_per_s_4k_ctx"] = round(i8_tps, 1)
+            note("int8 decode done")
+        except Exception as e:  # pragma: no cover
+            result["decode_int8_error"] = f"{type(e).__name__}"
     if os.environ.get("FA_TPU_BENCH_TRAIN", "1") == "1":
         try:
             tr_tf, tr_mfu, tr_tps, tr_t = bench_train_mfu(peak)
