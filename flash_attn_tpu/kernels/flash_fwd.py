@@ -40,10 +40,21 @@ from flash_attn_tpu.dispatch.config import (
     scoped_vmem_limit,
 )
 from flash_attn_tpu.kernels.dropout_rng import dropout_keep
+from flash_attn_tpu.kernels.fp8_cast import fp8e4m3_to_bf16
 
 LOG2E = math.log2(math.e)
 LN2 = math.log(2.0)
 NEG_INF = float("-inf")
+
+
+def _kv_to_bf16(x):
+    """Quantized-cache load cast: fast bit-twiddle for fp8 (v5e has no
+    native fp8 datapath — the stock astype is VPU-emulated and 4.4x
+    slower than bf16 reads, DESIGN.md); native astype otherwise."""
+    if x.dtype == jnp.float8_e4m3fn:
+        return fp8e4m3_to_bf16(x)
+    return x.astype(jnp.bfloat16)
+
 
 
 def _fwd_kernel(
@@ -142,9 +153,9 @@ def _fwd_kernel(
             kh = h_idx // group
             qd = descale_ref[0, b_idx, kh]
             kd = descale_ref[1, b_idx, kh]
-            q = q.astype(jnp.bfloat16)
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
+            q = _kv_to_bf16(q)
+            k = _kv_to_bf16(k)
+            v = _kv_to_bf16(v)
         if seqlen_k % block_k != 0:
             # Zero padded V rows: the pipeline pads partial boundary blocks
             # with garbage, and 0 (from masked p) * garbage = NaN in the PV

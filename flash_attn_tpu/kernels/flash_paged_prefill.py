@@ -40,10 +40,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.config import normalize_window
+from flash_attn_tpu.kernels.fp8_cast import fp8e4m3_to_bf16
 
 LOG2E = math.log2(math.e)
 LN2 = math.log(2.0)
 NEG_INF = float("-inf")
+
+
+def _kv_to_bf16(x):
+    """Quantized-cache load cast: fast bit-twiddle for fp8 (v5e has no
+    native fp8 datapath — the stock astype is VPU-emulated and 4.4x
+    slower than bf16 reads, DESIGN.md); native astype otherwise."""
+    if x.dtype == jnp.float8_e4m3fn:
+        return fp8e4m3_to_bf16(x)
+    return x.astype(jnp.bfloat16)
+
 
 
 def _paged_prefill_kernel(
@@ -131,8 +142,8 @@ def _paged_prefill_kernel(
         k = kbuf[slot]  # (h_k, block_k, d)
         v = vbuf[slot]
         if has_descale:
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
+            k = _kv_to_bf16(k)
+            v = _kv_to_bf16(v)
         cols = t * block_k + cols_i
         vrow = jax.lax.broadcasted_iota(jnp.int32, (1, block_k, 1), 1)
         v = jnp.where(vrow + t * block_k < sk, v, 0)

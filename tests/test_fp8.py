@@ -133,3 +133,18 @@ def test_model_fp8_kv_cache_decode(scale):
         assert (r.argmax(-1) == f.argmax(-1)).mean() >= 0.9, i
         rel = np.abs(r - f).max() / (np.abs(r).max() + 1e-6)
         assert rel < 0.15, (i, rel)
+
+
+def test_fp8_fast_cast_exact():
+    """The bit-twiddle fp8(e4m3)->bf16 used inside the quantized-cache
+    kernels (kernels/fp8_cast.py) is bitwise-equal to astype for every
+    finite e4m3 value (incl. +-0 and denormals)."""
+    from flash_attn_tpu.kernels.fp8_cast import fp8e4m3_to_bf16
+
+    u = np.arange(256, dtype=np.uint8)
+    x = jax.lax.bitcast_convert_type(jnp.asarray(u), jnp.float8_e4m3fn)
+    ref = np.asarray(x.astype(jnp.bfloat16), np.float32)
+    got = np.asarray(fp8e4m3_to_bf16(x), np.float32)
+    finite = np.isfinite(ref)
+    assert finite.sum() == 254
+    np.testing.assert_array_equal(got[finite], ref[finite])
