@@ -176,10 +176,25 @@ def _flash_attn_bwd(softmax_scale, causal, window_size, softcap,
     dq = dq.astype(q.dtype)
     dk = dk.astype(k.dtype)
     dv = dv.astype(v.dtype)
-    # No gradient for alibi slopes / sink yet (reference treats slopes as
-    # non-learnable too; sink grads TODO).
+    # No gradient for alibi slopes (reference treats them as
+    # non-learnable too).
     d_slopes = None if alibi_slopes is None else jnp.zeros_like(alibi_slopes)
-    d_sink = None if learnable_sink is None else jnp.zeros_like(learnable_sink)
+    # Learnable-sink gradient (the reference computes dsink in its bwd,
+    # hopper-style LearnableSinkBwdTensors): the sink logit enters ONLY
+    # the softmax denominator, so with delta = rowsum(dout . out),
+    #   dsink_h = -sum_{b,i} exp(sink_h - lse_{b,h,i}) * delta_{b,h,i}
+    # — an XLA epilogue on saved residuals, no kernel change. dq/dk/dv
+    # are already exact: p_ij = exp(s_ij - lse) folds the sink's effect
+    # through lse.
+    d_sink = None
+    if learnable_sink is not None:
+        delta = jnp.sum(g[0].astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1)                      # (b, sq, h)
+        delta = jnp.swapaxes(delta, 1, 2)             # (b, h, sq)
+        sink = learnable_sink.astype(jnp.float32)[None, :, None]
+        lse_safe = jnp.where(jnp.isfinite(lse), lse, jnp.inf)
+        w = jnp.exp(sink - lse_safe)                  # (b, h, sq)
+        d_sink = (-(w * delta).sum(axis=(0, 2))).astype(learnable_sink.dtype)
     d_seed = None if dropout_seed is None else jnp.zeros_like(dropout_seed)
     return dq, dk, dv, d_slopes, d_sink, d_seed, daux
 

@@ -243,3 +243,30 @@ def test_flash_attn_s_dmask_dropout_sign():
     # strictly-positive probs only (masked-out entries are 0 either way)
     live = np.asarray(jnp.abs(s_dmask)) > 0
     np.testing.assert_array_equal(got_keep[live], np.asarray(keep)[live])
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_learnable_sink_grads(causal):
+    """The learnable-sink logit trains (round-3; reference computes dsink
+    in its backward — LearnableSinkBwdTensors): dq/dk/dv/dsink match
+    autodiff through the fp32 reference."""
+    b, s, h, d = 1, 192, 4, 64
+    q, k, v = _make_qkv(jax.random.PRNGKey(41), b, s, s, h, h, d,
+                        dtype=jnp.float32)
+    sink = jnp.asarray(np.linspace(-0.5, 1.5, h), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(43), (b, s, h, d))
+
+    def f_kernel(q, k, v, sink):
+        out = flash_attn_func(q, k, v, causal=causal, learnable_sink=sink)
+        return (out * g).sum()
+
+    def f_ref(q, k, v, sink):
+        out, _ = attention_ref(q, k, v, causal=causal, learnable_sink=sink)
+        return (out * g).sum()
+
+    grads = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(q, k, v, sink)
+    refs = jax.grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v, sink)
+    for name, got, ref in zip(("dq", "dk", "dv", "dsink"), grads, refs):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-3, rtol=2e-3, err_msg=f"{name} causal={causal}")
