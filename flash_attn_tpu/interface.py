@@ -319,30 +319,32 @@ def flash_attn_func(
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18, 19),
+    nondiff_argnums=(11, 12, 13, 14, 15, 16, 17, 18, 19, 20),
 )
 def _flash_attn_varlen(q, k, v, cu_seqlens_q, cu_seqlens_k,
-                       seqused_q, seqused_k, alibi_slopes, dropout_seed,
-                       meta, max_seqlen_q, max_seqlen_k,
+                       seqused_q, seqused_k, alibi_slopes, learnable_sink,
+                       dropout_seed, meta, max_seqlen_q, max_seqlen_k,
                        softmax_scale, causal, window_size, softcap,
                        attention_chunk, dropout_p, block_q, block_k):
     (out, lse), _ = _flash_attn_varlen_fwd_res(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-        alibi_slopes, dropout_seed, meta, max_seqlen_q, max_seqlen_k,
-        softmax_scale, causal, window_size, softcap, attention_chunk,
-        dropout_p, block_q, block_k,
+        alibi_slopes, learnable_sink, dropout_seed, meta, max_seqlen_q,
+        max_seqlen_k, softmax_scale, causal, window_size, softcap,
+        attention_chunk, dropout_p, block_q, block_k,
     )
     return out, lse
 
 
 def _flash_attn_varlen_fwd_res(q, k, v, cu_seqlens_q, cu_seqlens_k,
                                seqused_q, seqused_k, alibi_slopes,
-                               dropout_seed, meta, max_seqlen_q, max_seqlen_k,
+                               learnable_sink, dropout_seed, meta,
+                               max_seqlen_q, max_seqlen_k,
                                softmax_scale, causal, window_size, softcap,
                                attention_chunk, dropout_p, block_q, block_k):
     out, lse = flash_attention_varlen_fwd(
         q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
         seqused_q=seqused_q, seqused_k=seqused_k, alibi_slopes=alibi_slopes,
+        learnable_sink=learnable_sink,
         dropout_p=dropout_p, dropout_seed=dropout_seed,
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
         softcap=softcap, attention_chunk=attention_chunk,
@@ -350,15 +352,18 @@ def _flash_attn_varlen_fwd_res(q, k, v, cu_seqlens_q, cu_seqlens_k,
         interpret=_use_interpret(),
     )
     return (out, lse), (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q,
-                        seqused_k, alibi_slopes, dropout_seed, out, lse)
+                        seqused_k, alibi_slopes, learnable_sink,
+                        dropout_seed, out, lse)
 
 
 def _flash_attn_varlen_bwd(max_seqlen_q, max_seqlen_k, softmax_scale, causal,
                            window_size, softcap, attention_chunk, dropout_p,
                            block_q, block_k, residuals, g):
     (q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-     alibi_slopes, dropout_seed, out, lse) = residuals
+     alibi_slopes, learnable_sink, dropout_seed, out, lse) = residuals
     # g = (g_out, g_lse); lse is an inspection output — cotangent dropped.
+    # dq/dk/dv are exact WITH a sink: p_ij = exp(s_ij - lse) folds the
+    # sink's denominator effect through the saved lse.
     dq, dk, dv = flash_attention_varlen_bwd(
         g[0], q, k, v, out, lse, cu_seqlens_q, cu_seqlens_k,
         max_seqlen_q, max_seqlen_k, seqused_q=seqused_q, seqused_k=seqused_k,
@@ -368,9 +373,19 @@ def _flash_attn_varlen_bwd(max_seqlen_q, max_seqlen_k, softmax_scale, causal,
         attention_chunk=attention_chunk, interpret=_use_interpret(),
     )
     zeros_like_opt = lambda x: None if x is None else jnp.zeros_like(x)
+    d_sink = None
+    if learnable_sink is not None:
+        # dsink_h = -sum_t exp(sink_h - lse_{h,t}) * rowsum(g . out)_t
+        # (the sink logit enters only the softmax denominator)
+        delta = jnp.sum(g[0].astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1)                       # (total_q, h)
+        sink = learnable_sink.astype(jnp.float32)[:, None]   # (h, 1)
+        lse_safe = jnp.where(jnp.isfinite(lse), lse, jnp.inf)  # (h, total_q)
+        w = jnp.exp(sink - lse_safe)
+        d_sink = (-(w * delta.T).sum(axis=1)).astype(learnable_sink.dtype)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             None, None, None, None, zeros_like_opt(alibi_slopes),
-            zeros_like_opt(dropout_seed), None)
+            d_sink, zeros_like_opt(dropout_seed), None)
 
 
 _flash_attn_varlen.defvjp(_flash_attn_varlen_fwd_res, _flash_attn_varlen_bwd)
@@ -395,6 +410,7 @@ def flash_attn_varlen_func(
     seqused_q=None,
     seqused_k=None,
     attention_chunk: int = 0,
+    learnable_sink=None,  # (nheads,) logits — trains (dsink computed)
     dropout_rng=None,
     block_table=None,  # (b, max_pages): k/v are PAGED caches (see below)
     q_descale=None,
@@ -451,7 +467,7 @@ def flash_attn_varlen_func(
         block_q = block_k = None
     out, lse = _flash_attn_varlen(
         q, k, v, cu_seqlens_q, cu_seqlens_k, seqused_q, seqused_k,
-        alibi_slopes, dropout_seed, meta, int(max_seqlen_q),
+        alibi_slopes, learnable_sink, dropout_seed, meta, int(max_seqlen_q),
         int(max_seqlen_k), softmax_scale, causal, window_size, softcap,
         attention_chunk, dropout_p, block_q, block_k,
     )

@@ -80,19 +80,16 @@ def _varlen_fwd_kernel(
     *refs,
     block_q, block_k, num_kv_blocks,
     scale_log2, softcap, causal, window_left, window_right, attention_chunk,
-    has_alibi, dropout_p, out_dtype,
+    has_alibi, dropout_p, out_dtype, has_sink=False,
 ):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
-    slope_ref = None
-    if has_alibi:
-        (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
-         kval_ref, slope_ref, q_ref, k_ref, v_ref,
-         out_ref, lse_ref, acc, m_s, l_s) = refs
-    else:
-        (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
-         kval_ref, q_ref, k_ref, v_ref,
-         out_ref, lse_ref, acc, m_s, l_s) = refs
+    (segq_ref, posq_ref, shiftq_ref, skq_ref, segk_ref, posk_ref,
+     kval_ref) = refs[:7]
+    rest = refs[7:]
+    slope_ref = rest.pop(0) if has_alibi else None
+    sink_ref = rest.pop(0) if has_sink else None
+    (q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s) = rest
 
     h_idx = pl.program_id(0)
     i = pl.program_id(1)
@@ -172,11 +169,23 @@ def _varlen_fwd_kernel(
     def _epilogue():
         m = m_s[:, :1]
         l = l_s[:, :1]
+        if has_sink:
+            # same per-head sink fold as the dense kernel's epilogue: the
+            # sink logit joins the softmax denominator only
+            sink = sink_ref[0, h_idx].astype(jnp.float32)
+            m_nat = m * LN2
+            m_tot = jnp.maximum(m_nat, sink)
+            l = l * jnp.exp(m_nat - m_tot) + jnp.exp(sink - m_tot)
+            o = acc[...] * jnp.exp(m_nat - m_tot)
+            lse = m_tot + jnp.log(l)
+        else:
+            o = acc[...]
+            lse = m * LN2 + jnp.log(l)
         inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
         if dropout_p > 0.0:
             inv_l = inv_l / (1.0 - dropout_p)
-        out_ref[0] = (acc[...] * inv_l).astype(out_dtype)
-        lse_ref[0, 0] = (m * LN2 + jnp.log(l))[:, 0]
+        out_ref[0] = (o * inv_l).astype(out_dtype)
+        lse_ref[0, 0] = lse[:, 0]
 
 
 @functools.partial(
@@ -198,6 +207,7 @@ def flash_attention_varlen_fwd(
     seqused_q=None,
     seqused_k=None,
     alibi_slopes=None,  # (b, h) f32
+    learnable_sink=None,  # (h,) logits
     dropout_p: float = 0.0,
     dropout_seed=None,
     softmax_scale: Optional[float] = None,
@@ -276,6 +286,10 @@ def flash_attention_varlen_fwd(
             pl.BlockSpec((1, bq, 1), lambda h_, i, j, *_: (h_, i, 0))
         )
         inputs.append(slope_ht[:, :, None])
+    if learnable_sink is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, h), lambda h_, i, j, *_: (0, 0), memory_space=pltpu.SMEM))
+        inputs.append(learnable_sink.reshape(1, h).astype(jnp.float32))
     in_specs += [
         pl.BlockSpec((1, bq, d), lambda h_, i, j, *_: (h_, i, 0)),
         pl.BlockSpec((1, bk, d),
@@ -307,7 +321,7 @@ def flash_attention_varlen_fwd(
         window_left=window_left, window_right=window_right,
         attention_chunk=attention_chunk,
         has_alibi=alibi_slopes is not None, dropout_p=dropout_p,
-        out_dtype=q.dtype,
+        out_dtype=q.dtype, has_sink=learnable_sink is not None,
     )
 
     from flash_attn_tpu.utils.fa_logging import log_kernel_launch

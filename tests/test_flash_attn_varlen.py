@@ -256,3 +256,56 @@ def test_varlen_scheduler_metadata_consumed(causal):
     dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q_un, k_un, v_un)
     for g in (dq, dk, dv):
         assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
+def test_varlen_learnable_sink_fwd_and_grads():
+    """learnable_sink x varlen crossing (the reference FA4 varlen supports
+    the sink; round-3): fwd matches per-sequence dense references and all
+    grads incl. dsink match autodiff through the fp32 reference."""
+    from flash_attn_tpu.utils.testing import attention_ref
+
+    lens = [48, 96, 33]
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    total = int(cu[-1])
+    h, d = 4, 64
+    q = jax.random.normal(jax.random.PRNGKey(51), (total, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(52), (total, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(53), (total, h, d))
+    sink = jnp.asarray(np.linspace(-0.5, 1.0, h), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(54), (total, h, d))
+
+    def f_kernel(q, k, v, sink):
+        out = flash_attn_varlen_func(
+            q, k, v, cu, cu, max(lens), max(lens), causal=True,
+            learnable_sink=sink)
+        return out, (out * g).sum()
+
+    out, _ = f_kernel(q, k, v, sink)
+    for s_i in range(len(lens)):
+        lo, hi = int(cu[s_i]), int(cu[s_i + 1])
+        ref, _ = attention_ref(q[None, lo:hi], k[None, lo:hi],
+                               v[None, lo:hi], causal=True,
+                               learnable_sink=sink)
+        np.testing.assert_allclose(
+            np.asarray(out[lo:hi], np.float32), np.asarray(ref[0]),
+            atol=2e-3, rtol=2e-3, err_msg=f"seq {s_i}")
+
+    def loss_kernel(q, k, v, sink):
+        return f_kernel(q, k, v, sink)[1]
+
+    def loss_ref(q, k, v, sink):
+        tot = 0.0
+        for s_i in range(len(lens)):
+            lo, hi = int(cu[s_i]), int(cu[s_i + 1])
+            ref, _ = attention_ref(q[None, lo:hi], k[None, lo:hi],
+                                   v[None, lo:hi], causal=True,
+                                   learnable_sink=sink)
+            tot = tot + (ref[0] * g[lo:hi]).sum()
+        return tot
+
+    grads = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, sink)
+    refs = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, sink)
+    for name, got, ref in zip(("dq", "dk", "dv", "dsink"), grads, refs):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=3e-3, rtol=3e-3, err_msg=name)
