@@ -411,6 +411,7 @@ def flash_attn_varlen_func(
     seqused_k=None,
     attention_chunk: int = 0,
     learnable_sink=None,  # (nheads,) logits — trains (dsink computed)
+    qv=None,  # (total_q, nheads, head_dim_v) MLA extra query — differentiable
     dropout_rng=None,
     block_table=None,  # (b, max_pages): k/v are PAGED caches (see below)
     q_descale=None,
@@ -451,7 +452,14 @@ def flash_attn_varlen_func(
                 "dropout_p > 0 requires dropout_rng (a jax.random key)")
         dropout_seed = jax.random.bits(dropout_rng, dtype=jnp.uint32)
     if softmax_scale is None:
-        softmax_scale = 1.0 / math.sqrt(q.shape[-1])
+        softmax_scale = 1.0 / math.sqrt(
+            q.shape[-1] if qv is None else q.shape[-1] + v.shape[-1])
+    if qv is not None:
+        # MLA qv term via the concat identity (same mechanism as the dense
+        # path): q.k^T + qv.v^T == [q, qv].[k, v]^T — forward AND backward
+        # ride the standard varlen kernel at head_dim d + dv.
+        q = jnp.concatenate([q, qv], axis=-1)
+        k = jnp.concatenate([k, v], axis=-1)
     window_size = normalize_window(tuple(window_size))
     if alibi_slopes is not None and alibi_slopes.ndim == 1:
         b = cu_seqlens_q.shape[0] - 1

@@ -103,3 +103,41 @@ def test_qv_term_grads(causal):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=1e-3, rtol=1e-3, err_msg=f"{name} causal={causal}")
+
+
+def test_qv_term_varlen_grads():
+    """MLA qv x varlen crossing (reference FA4 varlen takes qv): fwd and
+    all grads incl. dqv match per-sequence dense references."""
+    from flash_attn_tpu import flash_attn_varlen_func
+
+    lens = [40, 88]
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    total = int(cu[-1])
+    h, d, dv = 4, 64, 32
+    q = jax.random.normal(jax.random.PRNGKey(61), (total, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(62), (total, 1, d))
+    v = jax.random.normal(jax.random.PRNGKey(63), (total, 1, dv))
+    qv = jax.random.normal(jax.random.PRNGKey(64), (total, h, dv))
+    g = jax.random.normal(jax.random.PRNGKey(65), (total, h, dv))
+
+    def loss_kernel(q, k, v, qv):
+        out = flash_attn_varlen_func(
+            q, k, v, cu, cu, max(lens), max(lens), causal=True, qv=qv)
+        return (out * g).sum()
+
+    def loss_ref(q, k, v, qv):
+        tot = 0.0
+        for s_i in range(len(lens)):
+            lo, hi = int(cu[s_i]), int(cu[s_i + 1])
+            ref, _ = attention_ref(q[None, lo:hi], k[None, lo:hi],
+                                   v[None, lo:hi], qv=qv[None, lo:hi],
+                                   causal=True)
+            tot = tot + (ref[0] * g[lo:hi]).sum()
+        return tot
+
+    grads = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, qv)
+    refs = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, qv)
+    for name, got, ref in zip(("dq", "dk", "dv", "dqv"), grads, refs):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=3e-3, rtol=3e-3, err_msg=name)
