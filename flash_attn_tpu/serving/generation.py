@@ -61,14 +61,21 @@ def decode(
     params,
     cfg: GenerationConfig,
     rng: Optional[jax.Array] = None,
+    output_scores: bool = False,
 ):
-    """Prefill + token loop. Returns (sequences (b, max_length), lengths).
+    """Prefill + token loop. Returns (sequences (b, max_length), lengths);
+    with ``output_scores`` also the per-step pre-softmax logits
+    (max_new_tokens, b, vocab) — the reference's
+    GreedySearchDecoderOnlyOutput/SampleDecoderOnlyOutput ``scores`` field
+    (generation.py:124-126), as one stacked array (step t = the logits
+    that produced token prompt_len + t; unreached steps are zero).
 
     The loop is lax.while_loop inside one jit — the TPU analogue of the
     reference's CUDA-graph decode replay.
     """
     b, prompt_len = input_ids.shape
     max_len = cfg.max_length
+    max_new = max_len - prompt_len
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     @jax.jit
@@ -77,16 +84,16 @@ def decode(
             {"params": params}, input_ids, mode="prefill", mutable=["cache"])
         rng, k = jax.random.split(rng)
         next_tok = sample_token(logits[:, -1], k, cfg)
-        return next_tok, state["cache"], rng
+        return next_tok, logits[:, -1], state["cache"], rng
 
     @jax.jit
-    def _run(params, cache, seqs, cur_tok, pos, rng):
+    def _run(params, cache, seqs, scores, cur_tok, pos, rng):
         def cond(carry):
-            seqs, cache, tok, pos, rng, done = carry
+            seqs, scores, cache, tok, pos, rng, done = carry
             return jnp.logical_and(pos < max_len, ~jnp.all(done))
 
         def body(carry):
-            seqs, cache, tok, pos, rng, done = carry
+            seqs, scores, cache, tok, pos, rng, done = carry
             logits, state = model.apply(
                 {"params": params, "cache": cache}, tok[:, None],
                 mode="decode", mutable=["cache"])
@@ -97,20 +104,32 @@ def decode(
                 nxt = jnp.where(done, cfg.eos_token_id, nxt)
                 done = jnp.logical_or(done, nxt == cfg.eos_token_id)
             seqs = jax.lax.dynamic_update_slice(seqs, nxt[:, None], (0, pos))
-            return seqs, cache, nxt, pos + 1, rng, done
+            if output_scores:
+                scores = jax.lax.dynamic_update_slice(
+                    scores, logits[:, -1].astype(jnp.float32)[None],
+                    (pos - prompt_len, 0, 0))
+            return seqs, scores, cache, nxt, pos + 1, rng, done
 
         done0 = jnp.zeros((b,), bool)
         if cfg.eos_token_id is not None:
             done0 = cur_tok == cfg.eos_token_id
-        seqs, cache, tok, pos, rng, done = jax.lax.while_loop(
-            cond, body, (seqs, cache, cur_tok, pos, rng, done0))
-        return seqs, pos
+        seqs, scores, cache, tok, pos, rng, done = jax.lax.while_loop(
+            cond, body, (seqs, scores, cache, cur_tok, pos, rng, done0))
+        return seqs, scores, pos
 
-    first_tok, cache, rng = _prefill(params, input_ids, rng)
+    first_tok, first_logits, cache, rng = _prefill(params, input_ids, rng)
     seqs = jnp.zeros((b, max_len), jnp.int32)
     seqs = jax.lax.dynamic_update_slice(seqs, input_ids, (0, 0))
     seqs = jax.lax.dynamic_update_slice(
         seqs, first_tok[:, None], (0, prompt_len))
-    seqs, final_pos = _run(params, cache, seqs, first_tok,
-                           jnp.asarray(prompt_len + 1), rng)
+    if output_scores:
+        vocab = first_logits.shape[-1]
+        scores = jnp.zeros((max_new, b, vocab), jnp.float32)
+        scores = scores.at[0].set(first_logits.astype(jnp.float32))
+    else:
+        scores = jnp.zeros((1, 1, 1), jnp.float32)  # dead carry
+    seqs, scores, final_pos = _run(params, cache, seqs, scores, first_tok,
+                                   jnp.asarray(prompt_len + 1), rng)
+    if output_scores:
+        return seqs, final_pos, scores
     return seqs, final_pos

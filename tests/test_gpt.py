@@ -107,3 +107,27 @@ def test_mha_dwconv():
     out2 = mha.apply({"params": params}, x2)
     np.testing.assert_allclose(np.asarray(out[:, :-1]),
                                np.asarray(out2[:, :-1]), atol=1e-5)
+
+
+def test_decode_output_scores():
+    """decode(output_scores=True) returns the per-step logits (the
+    reference's GreedySearchDecoderOnlyOutput.scores, generation.py:124):
+    argmax of step t's scores must equal the emitted token t."""
+    from flash_attn_tpu.serving.generation import GenerationConfig, decode
+
+    cfg_m = GPTConfig(
+        vocab_size=96, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+        rotary_emb_fraction=1.0, use_rms_norm=True, glu_act=True,
+        max_decode_seqlen=48, dtype=jnp.float32)
+    model = GPTLMHeadModel(cfg_m)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8), jnp.int32))["params"]
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 96)
+    gcfg = GenerationConfig(max_length=16, top_k=1)
+    seqs, n, scores = decode(ids, model, params, gcfg, output_scores=True)
+    seqs2, n2 = decode(ids, model, params, gcfg)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs2))
+    assert scores.shape == (10, 2, 96)
+    toks = np.asarray(seqs)[:, 6:16]
+    pred = np.asarray(jnp.argmax(scores, -1)).T  # (b, steps)
+    np.testing.assert_array_equal(pred, toks)
