@@ -62,6 +62,8 @@ def decode(
     cfg: GenerationConfig,
     rng: Optional[jax.Array] = None,
     output_scores: bool = False,
+    teacher_outputs=None,  # (b, >= max_length): forced tokens (testing —
+    # the reference decode's teacher_outputs arg, generation.py:121-123)
 ):
     """Prefill + token loop. Returns (sequences (b, max_length), lengths);
     with ``output_scores`` also the per-step pre-softmax logits
@@ -84,6 +86,8 @@ def decode(
             {"params": params}, input_ids, mode="prefill", mutable=["cache"])
         rng, k = jax.random.split(rng)
         next_tok = sample_token(logits[:, -1], k, cfg)
+        if teacher_outputs is not None:
+            next_tok = teacher_outputs[:, prompt_len].astype(jnp.int32)
         return next_tok, logits[:, -1], state["cache"], rng
 
     @jax.jit
@@ -100,6 +104,9 @@ def decode(
             cache = state["cache"]
             rng, k = jax.random.split(rng)
             nxt = sample_token(logits[:, -1], k, cfg)
+            if teacher_outputs is not None:
+                nxt = jax.lax.dynamic_slice(
+                    teacher_outputs, (0, pos), (b, 1))[:, 0].astype(jnp.int32)
             if cfg.eos_token_id is not None:
                 nxt = jnp.where(done, cfg.eos_token_id, nxt)
                 done = jnp.logical_or(done, nxt == cfg.eos_token_id)

@@ -131,3 +131,24 @@ def test_decode_output_scores():
     toks = np.asarray(seqs)[:, 6:16]
     pred = np.asarray(jnp.argmax(scores, -1)).T  # (b, steps)
     np.testing.assert_array_equal(pred, toks)
+
+
+def test_decode_teacher_outputs():
+    """teacher_outputs forces the emitted tokens (the reference decode's
+    testing hook, generation.py:121-123) while scores still report the
+    model's own logits."""
+    from flash_attn_tpu.serving.generation import GenerationConfig, decode
+
+    cfg_m = GPTConfig(
+        vocab_size=96, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+        rotary_emb_fraction=1.0, use_rms_norm=True, glu_act=True,
+        max_decode_seqlen=48, dtype=jnp.float32)
+    model = GPTLMHeadModel(cfg_m)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8), jnp.int32))["params"]
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 96)
+    forced = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, 96)
+    gcfg = GenerationConfig(max_length=14, top_k=1)
+    seqs, n = decode(ids, model, params, gcfg, teacher_outputs=forced)
+    np.testing.assert_array_equal(np.asarray(seqs)[:, 6:14],
+                                  np.asarray(forced)[:, 6:14])
