@@ -139,6 +139,9 @@ def flash_attn_with_kvcache(
     Caches use the TPU-native (batch, heads, seq, dim) layout by default.
     """
     b, sq, h, d = q.shape
+    if block_table is not None and cache_batch_idx is not None:
+        # reference contract: csrc/flash_attn/flash_api.cpp:1288
+        raise ValueError("Paged KVcache does not support cache_batch_idx")
     if cache_layout == "bshd":
         k_cache = jnp.swapaxes(k_cache, 1, 2)
         v_cache = jnp.swapaxes(v_cache, 1, 2)

@@ -361,3 +361,15 @@ def test_kvcache_paged_small_pages(page_size, pages_per_seq):
     ref = _ref_decode(q, k_lin, v_lin, cache_seqlens, True)
     ref_lp = _ref_decode(q, k_lin, v_lin, cache_seqlens, True, upcast=False)
     check_against_ref(out, ref, ref_lp, msg=f"paged page={page_size}")
+
+
+def test_paged_rejects_cache_batch_idx():
+    """Reference contract: paged KV cache + cache_batch_idx raises
+    (csrc/flash_attn/flash_api.cpp:1288)."""
+    q = jnp.zeros((2, 1, 2, 64), jnp.bfloat16)
+    kp = jnp.zeros((4, 2, 128, 64), jnp.bfloat16)
+    with pytest.raises(ValueError, match="cache_batch_idx"):
+        flash_attn_with_kvcache(
+            q, kp, kp, cache_seqlens=jnp.array([5, 9], jnp.int32),
+            block_table=jnp.array([[0, 1], [2, 3]], jnp.int32),
+            cache_batch_idx=jnp.array([1, 0], jnp.int32), causal=True)
