@@ -120,6 +120,7 @@ def flash_attn_with_kvcache(
     causal: bool = False,
     window_size: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
+    attention_chunk: int = 0,
     rotary_interleaved: bool = False,
     alibi_slopes=None,
     q_descale=None,  # (b, h_k): FP8/INT8 quantized-cache descales
@@ -218,7 +219,8 @@ def flash_attn_with_kvcache(
         alibi_slopes=_norm_slopes(alibi_slopes, b),
         q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
-        softcap=softcap, num_splits=num_splits, interpret=interpret,
+        softcap=softcap, attention_chunk=attention_chunk,
+        num_splits=num_splits, interpret=interpret,
     )
     if k_new is not None:
         out, lse, k_cache, v_cache = res

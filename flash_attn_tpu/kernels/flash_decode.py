@@ -59,7 +59,7 @@ def _decode_kernel(
     page_tab_ref,  # (b, table_width) page table (a KV tile spans pages_per_tile)
     *refs,
     block_k, rows_pad, seqlen_q, group, num_splits, max_tiles, num_heads_kv,
-    scale_log2, softcap, causal, window_left, window_right,
+    scale_log2, softcap, causal, window_left, window_right, attention_chunk,
     has_alibi, paged, num_pages, has_descale, pages_per_tile, table_width,
     seqs_per_step,
 ):
@@ -198,6 +198,12 @@ def _decode_kernel(
         if window_left is not None:
             valid = jnp.logical_and(
                 valid, pos_k >= tok + shift_v - window_left)
+        if attention_chunk > 0:
+            # chunked-causal (llama4-style; reference hopper kvcache
+            # attention_chunk): the query attends only within its chunk
+            rs = tok + shift_v
+            lo = rs - rs % attention_chunk
+            valid = jnp.logical_and(valid, pos_k >= lo)
         if G == 1:
             valid = valid[None]                 # shared across heads
 
@@ -285,8 +291,8 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "softmax_scale", "causal", "window_size", "softcap", "num_splits",
-        "block_k", "interpret", "out_fp32",
+        "softmax_scale", "causal", "window_size", "softcap",
+        "attention_chunk", "num_splits", "block_k", "interpret", "out_fp32",
     ),
 )
 def flash_attention_decode(
@@ -307,6 +313,7 @@ def flash_attention_decode(
     causal: bool = False,
     window_size: Tuple[Optional[int], Optional[int]] = (None, None),
     softcap: float = 0.0,
+    attention_chunk: int = 0,
     num_splits: int = 1,
     block_k: Optional[int] = None,
     interpret: bool = False,
@@ -330,6 +337,7 @@ def flash_attention_decode(
             k_descale=k_descale, v_descale=v_descale,
             softmax_scale=softmax_scale, causal=causal,
             window_size=window_size, softcap=softcap,
+            attention_chunk=attention_chunk,
             num_splits=num_splits, block_k=block_k, interpret=interpret,
             out_fp32=out_fp32)
         return out, lse, k_cache, v_cache
@@ -352,7 +360,8 @@ def flash_attention_decode(
             alibi_slopes=alibi_slopes, q_descale=q_descale,
             k_descale=k_descale, v_descale=v_descale,
             softmax_scale=softmax_scale, causal=causal,
-            window_size=window_size, softcap=softcap, num_splits=num_splits,
+            window_size=window_size, softcap=softcap,
+            attention_chunk=attention_chunk, num_splits=num_splits,
             block_k=block_k, interpret=interpret, out_fp32=out_fp32,
         )
         return out[..., :dv_in], lse
@@ -366,7 +375,8 @@ def flash_attention_decode(
             and block_table.shape[1] % max_tiles_per_kernel == 0
             # position-dependent features don't survive per-chunk
             # re-basing; fall through to the direct path for those
-            and window_size == (None, None) and cache_leftpad is None
+            and window_size == (None, None) and attention_chunk == 0
+            and cache_leftpad is None
             and alibi_slopes is None):
         page_size = k_cache.shape[2]
         ns = block_table.shape[1] // max_tiles_per_kernel
@@ -420,6 +430,7 @@ def flash_attention_decode(
                 alibi_slopes=asc, q_descale=qdc, k_descale=kdc, v_descale=vdc,
                 softmax_scale=softmax_scale, causal=causal,
                 window_size=window_size, softcap=softcap,
+                attention_chunk=attention_chunk,
                 num_splits=num_splits, block_k=block_k, interpret=interpret,
                 out_fp32=out_fp32,
             )
@@ -612,6 +623,7 @@ def flash_attention_decode(
         num_splits=num_splits, max_tiles=max_tiles, num_heads_kv=h_k,
         scale_log2=softmax_scale * LOG2E, softcap=softcap, causal=causal,
         window_left=window_left, window_right=window_right,
+        attention_chunk=attention_chunk,
         has_alibi=alibi_slopes is not None, paged=paged, num_pages=num_pages,
         has_descale=has_descale, pages_per_tile=ppt, table_width=table_width,
         seqs_per_step=g,

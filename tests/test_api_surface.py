@@ -36,7 +36,8 @@ def test_kvcache_signature():
     for name in ["q", "k_cache", "v_cache", "k", "v", "rotary_cos",
                  "rotary_sin", "cache_seqlens", "cache_batch_idx",
                  "cache_leftpad", "block_table", "softmax_scale", "causal",
-                 "window_size", "softcap", "rotary_interleaved",
+                 "window_size", "softcap", "attention_chunk",
+                 "rotary_interleaved",
                  "alibi_slopes", "num_splits", "return_softmax_lse",
                  "q_descale", "k_descale", "v_descale"]:
         assert name in p, name

@@ -20,7 +20,7 @@ def _mk(key, shape, dtype=jnp.bfloat16):
 
 
 def _ref_decode(q, k_full, v_full, cache_seqlens_eff, causal, leftpad=None,
-                window_size=(None, None), upcast=True):
+                window_size=(None, None), attention_chunk=0, upcast=True):
     """k_full/v_full: (b, s_max, h_k, d) with appended keys already placed."""
     b, s_max = k_full.shape[:2]
     kmask = jnp.arange(s_max)[None, :] < cache_seqlens_eff[:, None]
@@ -29,6 +29,7 @@ def _ref_decode(q, k_full, v_full, cache_seqlens_eff, causal, leftpad=None,
     out, _ = attention_ref(
         q, k_full, v_full, None, kmask, causal=causal,
         key_leftpad=leftpad, window_size=window_size,
+        attention_chunk=attention_chunk,
         upcast=upcast, reorder_ops=not upcast,
     )
     return out
@@ -373,3 +374,25 @@ def test_paged_rejects_cache_batch_idx():
             q, kp, kp, cache_seqlens=jnp.array([5, 9], jnp.int32),
             block_table=jnp.array([[0, 1], [2, 3]], jnp.int32),
             cache_batch_idx=jnp.array([1, 0], jnp.int32), causal=True)
+
+
+def test_kvcache_attention_chunk():
+    """attention_chunk in the decode path (reference hopper
+    flash_attn_with_kvcache:965): the query attends only within its
+    chunk; matches the fp32 reference's chunked-causal mask."""
+    b, h, d, s_max = 2, 4, 64, 256
+    chunk = 64
+    q = _mk(jax.random.PRNGKey(71), (b, 1, h, d))
+    kc = _mk(jax.random.PRNGKey(72), (b, h, s_max, d))
+    vc = _mk(jax.random.PRNGKey(73), (b, h, s_max, d))
+    seqlens = jnp.array([200, 130], jnp.int32)  # mid-chunk positions
+    out = flash_attn_with_kvcache(
+        q, kc, vc, cache_seqlens=seqlens, causal=True,
+        attention_chunk=chunk)
+    k_lin = jnp.swapaxes(kc, 1, 2)
+    v_lin = jnp.swapaxes(vc, 1, 2)
+    ref = _ref_decode(q, k_lin, v_lin, seqlens, True,
+                      attention_chunk=chunk)
+    ref_lp = _ref_decode(q, k_lin, v_lin, seqlens, True,
+                         attention_chunk=chunk, upcast=False)
+    check_against_ref(out, ref, ref_lp, msg="kvcache chunk")
