@@ -110,6 +110,8 @@ def flash_attn_with_kvcache(
     v_cache,
     k=None,  # (b, s_new, h_k, d) new keys to append
     v=None,
+    qv=None,  # (b, sq, h, head_dim_v) MLA extra query (reference hopper
+    # flash_attn_with_kvcache qv=)
     rotary_cos=None,  # (s_max_rot, rot_dim/2)
     rotary_sin=None,
     cache_seqlens: Optional[jax.Array] = None,  # (b,) or int
@@ -154,7 +156,8 @@ def flash_attn_with_kvcache(
     leftpad = (jnp.zeros((b,), jnp.int32) if cache_leftpad is None
                else cache_leftpad.astype(jnp.int32))
     if softmax_scale is None:
-        softmax_scale = 1.0 / math.sqrt(d)
+        softmax_scale = 1.0 / math.sqrt(
+            d if qv is None else d + v_cache.shape[-1])
     window_size = normalize_window(tuple(window_size))
 
     s_new = 0
@@ -215,7 +218,7 @@ def flash_attn_with_kvcache(
     res = flash_attention_decode(
         q, k_cache, v_cache, sk_eff,
         block_table=block_table, cache_batch_idx=cache_batch_idx,
-        cache_leftpad=cache_leftpad, k_new=k_new, v_new=v_new,
+        cache_leftpad=cache_leftpad, k_new=k_new, v_new=v_new, qv=qv,
         alibi_slopes=_norm_slopes(alibi_slopes, b),
         q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,

@@ -61,7 +61,7 @@ def _decode_kernel(
     block_k, rows_pad, seqlen_q, group, num_splits, max_tiles, num_heads_kv,
     scale_log2, softcap, causal, window_left, window_right, attention_chunk,
     has_alibi, paged, num_pages, has_descale, pages_per_tile, table_width,
-    seqs_per_step,
+    seqs_per_step, has_qv=False,
 ):
     """All KV heads AND a group of `seqs_per_step` sequences are processed
     per grid step, flattened into ONE (seqs*kv_heads) leading axis (Mosaic
@@ -84,6 +84,7 @@ def _decode_kernel(
     # and lane-replicated (vector reads; building vectors from SMEM scalar
     # stacks lowers to an unsupported gather)
     meta_ref = refs.pop(0)
+    qv_ref = refs.pop(0) if has_qv else None
     slopes_ref = refs.pop(0) if has_alibi else None
     # (2, g*h_k, 128) VMEM: [0]=q_descale*k_descale, [1]=v_descale,
     # lane-replicated so the batched path reads them as vectors.
@@ -170,6 +171,13 @@ def _decode_kernel(
     if has_descale:
         qs = qs.astype(jnp.bfloat16)
     qs = (qs.astype(jnp.float32) * scale_log2).astype(qs.dtype)
+    if has_qv:
+        # MLA qv extra-query term (reference hopper kvcache qv=):
+        # scores += scale * qv . v, a second batched matmul per tile
+        qvs = qv_ref[...]
+        if has_descale:
+            qvs = qvs.astype(jnp.bfloat16)
+        qvs = (qvs.astype(jnp.float32) * scale_log2).astype(qvs.dtype)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, block_k), 1)
     tok_2d = rows_i // group                    # (rows_pad, block_k)
@@ -220,6 +228,11 @@ def _decode_kernel(
             qs, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        if has_qv:
+            s2 = s2 + jax.lax.dot_general(
+                qvs, v, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
         if softcap > 0.0:
             tt = jnp.tanh(s2 * (1.0 / LOG2E) / softcap)
             s2 = tt * softcap * LOG2E
@@ -305,6 +318,7 @@ def flash_attention_decode(
     cache_leftpad=None,    # (b,) int32
     k_new=None,  # (b, s_new, h_k, d): append in-kernel at cache_seqlens-s_new
     v_new=None,
+    qv=None,     # (b, sq, h, dv) MLA extra query against V
     alibi_slopes=None,     # (b, h)
     q_descale=None,        # (b, h_k) f32: FP8/INT8 dequant scales
     k_descale=None,
@@ -333,7 +347,7 @@ def flash_attention_decode(
         out, lse = flash_attention_decode(
             q, k_cache, v_cache, cache_seqlens, block_table=block_table,
             cache_batch_idx=cache_batch_idx, cache_leftpad=cache_leftpad,
-            alibi_slopes=alibi_slopes, q_descale=q_descale,
+            qv=qv, alibi_slopes=alibi_slopes, q_descale=q_descale,
             k_descale=k_descale, v_descale=v_descale,
             softmax_scale=softmax_scale, causal=causal,
             window_size=window_size, softcap=softcap,
@@ -352,12 +366,14 @@ def flash_attention_decode(
         k_cache = jnp.pad(k_cache, ((0, 0),) * 3 + ((0, d_pad - d),))
         if dv_pad != dv_in:
             v_cache = jnp.pad(v_cache, ((0, 0),) * 3 + ((0, dv_pad - dv_in),))
+            if qv is not None:  # qv multiplies V: zero-pad alongside
+                qv = jnp.pad(qv, ((0, 0),) * 3 + ((0, dv_pad - dv_in),))
         if softmax_scale is None:
             softmax_scale = 1.0 / math.sqrt(d)
         out, lse = flash_attention_decode(
             q, k_cache, v_cache, cache_seqlens, block_table=block_table,
             cache_batch_idx=cache_batch_idx, cache_leftpad=cache_leftpad,
-            alibi_slopes=alibi_slopes, q_descale=q_descale,
+            qv=qv, alibi_slopes=alibi_slopes, q_descale=q_descale,
             k_descale=k_descale, v_descale=v_descale,
             softmax_scale=softmax_scale, causal=causal,
             window_size=window_size, softcap=softcap,
@@ -391,6 +407,7 @@ def flash_attention_decode(
         qrep = jnp.repeat(q, ns, axis=0)
         out_p, lse_p = flash_attention_decode(
             qrep, k_cache, v_cache, sl, block_table=bt,
+            qv=rep(qv),
             cache_batch_idx=None, cache_leftpad=rep(cache_leftpad),
             alibi_slopes=rep(alibi_slopes), q_descale=rep(q_descale),
             k_descale=rep(k_descale), v_descale=rep(v_descale),
@@ -423,10 +440,11 @@ def flash_attention_decode(
         nc = b // chunk
 
         def piece(args):
-            (qc, slc, btc, bic, lpc, asc, qdc, kdc, vdc) = args
+            (qc, slc, btc, bic, lpc, asc, qdc, kdc, vdc, qvc) = args
             return flash_attention_decode(
                 qc, k_cache, v_cache, slc,
                 block_table=btc, cache_batch_idx=bic, cache_leftpad=lpc,
+                qv=qvc,
                 alibi_slopes=asc, q_descale=qdc, k_descale=kdc, v_descale=vdc,
                 softmax_scale=softmax_scale, causal=causal,
                 window_size=window_size, softcap=softcap,
@@ -443,7 +461,7 @@ def flash_attention_decode(
             split(q), split(cache_seqlens), split(block_table),
             split(cache_batch_idx), split(cache_leftpad),
             split(alibi_slopes), split(q_descale), split(k_descale),
-            split(v_descale),
+            split(v_descale), split(qv),
         ))
         return (outs.reshape((b,) + outs.shape[2:]),
                 lses.reshape((b,) + lses.shape[2:]))
@@ -537,6 +555,13 @@ def flash_attention_decode(
     )
     if rows_pad != rows:
         qp = jnp.pad(qp, ((0, 0), (0, 0), (0, rows_pad - rows), (0, 0)))
+    qvp = None
+    if qv is not None:
+        qvp = qv.reshape(b, sq, h_k, group, dv).transpose(
+            0, 2, 1, 3, 4).reshape(b, h_k, rows, dv)
+        if rows_pad != rows:
+            qvp = jnp.pad(qvp,
+                          ((0, 0), (0, 0), (0, rows_pad - rows), (0, 0)))
 
     num_splits = max(1, min(num_splits, max_tiles))
 
@@ -559,6 +584,10 @@ def flash_attention_decode(
     in_specs.append(pl.BlockSpec(
         (2, g * h_k, 128), lambda b_, s, *_: (0, b_, 0)))
     inputs.append(meta)
+    if qv is not None:
+        in_specs.append(pl.BlockSpec(
+            (g * h_k, rows_pad, dv), lambda b_, s, *_: (b_, 0, 0)))
+        inputs.append(qvp.reshape(b * h_k, rows_pad, dv))
     if alibi_slopes is not None:
         r = jnp.arange(rows_pad) % group
         heads = (jnp.arange(h_k)[:, None] * group
@@ -626,7 +655,7 @@ def flash_attention_decode(
         attention_chunk=attention_chunk,
         has_alibi=alibi_slopes is not None, paged=paged, num_pages=num_pages,
         has_descale=has_descale, pages_per_tile=ppt, table_width=table_width,
-        seqs_per_step=g,
+        seqs_per_step=g, has_qv=qv is not None,
     )
 
     from flash_attn_tpu.utils.fa_logging import log_kernel_launch

@@ -33,7 +33,7 @@ def test_varlen_func_signature():
 
 def test_kvcache_signature():
     p = _params(flash_attn_tpu.flash_attn_with_kvcache)
-    for name in ["q", "k_cache", "v_cache", "k", "v", "rotary_cos",
+    for name in ["q", "k_cache", "v_cache", "k", "v", "qv", "rotary_cos",
                  "rotary_sin", "cache_seqlens", "cache_batch_idx",
                  "cache_leftpad", "block_table", "softmax_scale", "causal",
                  "window_size", "softcap", "attention_chunk",

@@ -141,3 +141,26 @@ def test_qv_term_varlen_grads():
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             atol=3e-3, rtol=3e-3, err_msg=name)
+
+
+def test_qv_term_kvcache_decode():
+    """qv in flash_attn_with_kvcache (reference hopper kvcache qv=,
+    :947): decode scores = scale*(q.k + qv.v) over the cache."""
+    b, h, h_k = 2, 8, 1
+    d, dv, s_max = 64, 32, 256
+    q = jax.random.normal(jax.random.PRNGKey(81), (b, 1, h, d)).astype(jnp.bfloat16)
+    qv = jax.random.normal(jax.random.PRNGKey(82), (b, 1, h, dv)).astype(jnp.bfloat16)
+    kc = jax.random.normal(jax.random.PRNGKey(83), (b, h_k, s_max, d)).astype(jnp.bfloat16)
+    vc = jax.random.normal(jax.random.PRNGKey(84), (b, h_k, s_max, dv)).astype(jnp.bfloat16)
+    seqlens = jnp.array([200, 97], jnp.int32)
+    out = flash_attn_with_kvcache(
+        q, kc, vc, qv=qv, cache_seqlens=seqlens, causal=True)
+    kmask = jnp.arange(s_max)[None, :] < seqlens[:, None]
+    ref, _ = attention_ref(
+        q.astype(jnp.float32), jnp.swapaxes(kc, 1, 2).astype(jnp.float32),
+        jnp.swapaxes(vc, 1, 2).astype(jnp.float32), None, kmask,
+        qv=qv.astype(jnp.float32), causal=True)
+    ref_lp, _ = attention_ref(
+        q, jnp.swapaxes(kc, 1, 2), jnp.swapaxes(vc, 1, 2), None, kmask,
+        qv=qv, causal=True, upcast=False, reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg="kvcache qv")
