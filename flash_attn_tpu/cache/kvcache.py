@@ -115,6 +115,9 @@ def flash_attn_with_kvcache(
     rotary_cos=None,  # (s_max_rot, rot_dim/2)
     rotary_sin=None,
     cache_seqlens: Optional[jax.Array] = None,  # (b,) or int
+    rotary_seqlens=None,  # (b,): rotary position offsets for the appended
+    # keys/queries (reference hopper kvcache rotary_seqlens; default =
+    # cache_seqlens - cache_leftpad)
     cache_batch_idx=None,
     cache_leftpad=None,
     block_table=None,
@@ -129,6 +132,9 @@ def flash_attn_with_kvcache(
     k_descale=None,
     v_descale=None,
     num_splits: int = 0,
+    pack_gqa: Optional[bool] = None,  # accepted for drop-in parity; GQA
+    # row packing is always on here (the kernel packs query heads of one
+    # kv head into MXU rows automatically)
     return_softmax_lse: bool = False,
     cache_layout: str = "native",  # "native" (b,h,s,d) | "bshd" reference
 ):
@@ -165,7 +171,8 @@ def flash_attn_with_kvcache(
     if k is not None:
         s_new = k.shape[1]
         if rotary_cos is not None:
-            pos_k = cache_seqlens - leftpad
+            pos_k = (rotary_seqlens if rotary_seqlens is not None
+                     else cache_seqlens - leftpad)
             k = apply_rotary_emb(
                 k, rotary_cos, rotary_sin, interleaved=rotary_interleaved,
                 seqlen_offsets=pos_k,
@@ -177,7 +184,8 @@ def flash_attn_with_kvcache(
     if rotary_cos is not None:
         # q tokens sit at positions old_len-leftpad .. +sq (causal decode
         # alignment; non-causal q position = old_len like the reference).
-        pos_q = cache_seqlens - leftpad
+        pos_q = (rotary_seqlens if rotary_seqlens is not None
+                 else cache_seqlens - leftpad)
         q = apply_rotary_emb(
             q, rotary_cos, rotary_sin, interleaved=rotary_interleaved,
             seqlen_offsets=pos_q,

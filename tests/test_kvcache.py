@@ -396,3 +396,35 @@ def test_kvcache_attention_chunk():
     ref_lp = _ref_decode(q, k_lin, v_lin, seqlens, True,
                          attention_chunk=chunk, upcast=False)
     check_against_ref(out, ref, ref_lp, msg="kvcache chunk")
+
+
+def test_kvcache_rotary_seqlens_override():
+    """rotary_seqlens (reference hopper kvcache:957) overrides the rotary
+    offsets of appended keys/queries: appending at cache position p with
+    rotary_seqlens=r must equal manually rotating at r then appending."""
+    from flash_attn_tpu.ops.rotary import apply_rotary_emb
+
+    b, h, d, s_max = 2, 2, 64, 128
+    q = _mk(jax.random.PRNGKey(91), (b, 1, h, d))
+    kc = _mk(jax.random.PRNGKey(92), (b, h, s_max, d))
+    vc = _mk(jax.random.PRNGKey(93), (b, h, s_max, d))
+    k_new = _mk(jax.random.PRNGKey(94), (b, 1, h, d))
+    v_new = _mk(jax.random.PRNGKey(95), (b, 1, h, d))
+    seqlens = jnp.array([40, 70], jnp.int32)
+    rot = jnp.array([3, 11], jnp.int32)  # != seqlens on purpose
+    inv = 1.0 / (10000 ** (jnp.arange(0, d, 2) / d))
+    t = jnp.arange(s_max)[:, None] * inv[None, :]
+    cos, sin = jnp.cos(t), jnp.sin(t)
+
+    out, kc2, vc2 = flash_attn_with_kvcache(
+        q, kc, vc, k=k_new, v=v_new, rotary_cos=cos, rotary_sin=sin,
+        cache_seqlens=seqlens, rotary_seqlens=rot, causal=True)
+
+    q_rot = apply_rotary_emb(q, cos, sin, seqlen_offsets=rot)
+    k_rot = apply_rotary_emb(k_new, cos, sin, seqlen_offsets=rot)
+    out2, kc3, vc3 = flash_attn_with_kvcache(
+        q_rot, kc, vc, k=k_rot, v=v_new, cache_seqlens=seqlens, causal=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(out2, np.float32),
+                               atol=1e-2, rtol=1e-2)
+    np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc3))
