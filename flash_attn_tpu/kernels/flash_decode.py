@@ -86,7 +86,7 @@ def _decode_kernel(
     meta_ref = refs.pop(0)
     qv_ref = refs.pop(0) if has_qv else None
     slopes_ref = refs.pop(0) if has_alibi else None
-    # (2, g*h_k, 128) VMEM: [0]=q_descale*k_descale, [1]=v_descale,
+    # (3, g*h_k, 128) VMEM: [0]=qd*kd, [1]=vd, [2]=qd*vd,
     # lane-replicated so the batched path reads them as vectors.
     descale_ref = refs.pop(0) if has_descale else None
     (q_ref, kc_ref, vc_ref, outp_ref, lsep_ref,
@@ -228,16 +228,21 @@ def _decode_kernel(
             qs, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        if has_qv:
-            s2 = s2 + jax.lax.dot_general(
-                qvs, v, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
         if softcap > 0.0:
             tt = jnp.tanh(s2 * (1.0 / LOG2E) / softcap)
             s2 = tt * softcap * LOG2E
         elif has_descale:
             s2 = s2 * qkd
+        if has_qv:
+            # scores += scale * qv . v (descaled by qd*vd on the fp8 path
+            # — v's descale applies wherever V enters the scores)
+            qv_term = jax.lax.dot_general(
+                qvs, v, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if has_descale:
+                qv_term = qv_term * descale_ref[2][:, :1].reshape(GH, 1, 1)
+            s2 = s2 + qv_term
 
         if has_alibi:
             slope = slopes_ref[...]  # (GH, rows_pad, 1)
@@ -605,11 +610,12 @@ def flash_attention_decode(
         vd = ones if v_descale is None else v_descale.astype(jnp.float32)
         # (2, b, h_k, 128): [0]=qd*kd, [1]=vd, lane-replicated for vector
         # reads in the batched-head kernel.
+        # [0]=qd*kd (qk scores), [1]=vd (output), [2]=qd*vd (qv scores)
         descale = jnp.broadcast_to(
-            jnp.stack([qd * kd, vd])[..., None],
-            (2, b, h_k, 128)).reshape(2, b * h_k, 128)
+            jnp.stack([qd * kd, vd, qd * vd])[..., None],
+            (3, b, h_k, 128)).reshape(3, b * h_k, 128)
         in_specs.append(pl.BlockSpec(
-            (2, g * h_k, 128), lambda b_, s, *_: (0, b_, 0)))
+            (3, g * h_k, 128), lambda b_, s, *_: (0, b_, 0)))
         inputs.append(descale)
     in_specs += [
         pl.BlockSpec((g * h_k, rows_pad, d), lambda b_, s, *_: (b_, 0, 0)),

@@ -187,13 +187,18 @@ def _fwd_kernel(
             )
         if has_qv:
             # MLA qv term (reference flash_attn/cute/interface.py:3471):
-            # scores += scale * qv . v
+            # scores += scale * qv . v (descaled by qd*vd on the fp8 path —
+            # v's descale applies wherever V enters the scores)
             qvs = (qv_ref[0, 0].astype(jnp.float32) * scale_log2
                    ).astype(v.dtype)
-            s2 = s2 + jax.lax.dot_general(
+            qv_term = jax.lax.dot_general(
                 qvs, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if has_descale:
+                vd_s = descale_ref[2, b_idx, h_idx // group]
+                qv_term = qv_term * (qd * vd_s)
+            s2 = s2 + qv_term
         if score_mod is not None:
             # flex-attention-style user score modification on natural-scale
             # scores (reference flash_attn/cute/interface.py score_mod +

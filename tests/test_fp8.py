@@ -148,3 +148,55 @@ def test_fp8_fast_cast_exact():
     finite = np.isfinite(ref)
     assert finite.sum() == 254
     np.testing.assert_array_equal(got[finite], ref[finite])
+
+
+def test_fp8_qv_fwd():
+    """fp8 descale x MLA qv crossing: the fp8 path keeps the in-kernel
+    qv term (the concat rewrite covers only the unquantized path)."""
+    b, s, h, d, dv = 1, 256, 4, 64, 32
+    FP8 = jnp.float8_e4m3fn
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (b, s, h, d)).astype(FP8)
+    k = jax.random.normal(ks[1], (b, s, h, d)).astype(FP8)
+    v = jax.random.normal(ks[2], (b, s, h, dv)).astype(FP8)
+    qv = jax.random.normal(ks[3], (b, s, h, dv)).astype(FP8)
+    qd = jnp.full((b, h), 0.9, jnp.float32)
+    kd = jnp.full((b, h), 1.1, jnp.float32)
+    vd = jnp.full((b, h), 1.05, jnp.float32)
+    out = flash_attn_func(q, k, v, causal=True, qv=qv,
+                          q_descale=qd, k_descale=kd, v_descale=vd)
+    # fp32 reference with the (uniform in this test) descales applied
+    ref, _ = attention_ref(
+        q.astype(jnp.float32) * 0.9, k.astype(jnp.float32) * 1.1,
+        v.astype(jnp.float32) * 1.05, qv=qv.astype(jnp.float32) * 0.9,
+        causal=True, softmax_scale=1.0 / np.sqrt(d + dv))
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+    assert err < 0.05, err  # fp8 e4m3 inputs: coarse but bounded
+
+
+def test_fp8_qv_decode():
+    """fp8 cache x qv crossing in the decode kernel: the qv score term
+    carries qd*vd (not qd*kd) — pinned after the round-3 descale fix."""
+    from flash_attn_tpu import flash_attn_with_kvcache
+
+    b, h, h_k, d, dv, s_max = 2, 4, 4, 64, 32, 256
+    FP8 = jnp.float8_e4m3fn
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, 1, h, d), jnp.bfloat16)
+    qv = jax.random.normal(jax.random.PRNGKey(2), (b, 1, h, dv), jnp.bfloat16)
+    kc = jax.random.normal(jax.random.PRNGKey(3), (b, h_k, s_max, d)).astype(FP8)
+    vc = jax.random.normal(jax.random.PRNGKey(4), (b, h_k, s_max, dv)).astype(FP8)
+    seqlens = jnp.array([200, 130], jnp.int32)
+    kd = jnp.full((b, h_k), 1.1, jnp.float32)
+    vd = jnp.full((b, h_k), 0.95, jnp.float32)
+    out = flash_attn_with_kvcache(
+        q, kc, vc, qv=qv, cache_seqlens=seqlens, causal=True,
+        k_descale=kd, v_descale=vd)
+    kmask = jnp.arange(s_max)[None, :] < seqlens[:, None]
+    ref, _ = attention_ref(
+        q.astype(jnp.float32),
+        jnp.swapaxes(kc, 1, 2).astype(jnp.float32) * 1.1,
+        jnp.swapaxes(vc, 1, 2).astype(jnp.float32) * 0.95,
+        None, kmask, qv=qv.astype(jnp.float32), causal=True,
+        softmax_scale=1.0 / np.sqrt(d + dv))
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+    assert err < 0.05, err
