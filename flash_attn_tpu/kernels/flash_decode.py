@@ -228,21 +228,25 @@ def _decode_kernel(
             qs, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        if softcap > 0.0:
-            tt = jnp.tanh(s2 * (1.0 / LOG2E) / softcap)
-            s2 = tt * softcap * LOG2E
-        elif has_descale:
-            s2 = s2 * qkd
         if has_qv:
-            # scores += scale * qv . v (descaled by qd*vd on the fp8 path
-            # — v's descale applies wherever V enters the scores)
+            # scores += scale * qv . v. Joins BEFORE softcap (the cap
+            # applies to the full score); on the fp8 path (softcap
+            # excluded by the driver assert) it carries qd*vd — V's
+            # descale applies wherever V enters the scores.
             qv_term = jax.lax.dot_general(
                 qvs, v, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             if has_descale:
                 qv_term = qv_term * descale_ref[2][:, :1].reshape(GH, 1, 1)
-            s2 = s2 + qv_term
+                s2 = s2 * qkd + qv_term
+            else:
+                s2 = s2 + qv_term
+        if softcap > 0.0:
+            tt = jnp.tanh(s2 * (1.0 / LOG2E) / softcap)
+            s2 = tt * softcap * LOG2E
+        elif has_descale and not has_qv:
+            s2 = s2 * qkd
 
         if has_alibi:
             slope = slopes_ref[...]  # (GH, rows_pad, 1)

@@ -167,11 +167,19 @@ def _fwd_kernel(
             v = jnp.where(kv_rows < seqlen_k, v, 0)
 
         if softcap > 0.0:
-            # Need natural-scale scores for tanh capping.
+            # Need natural-scale scores for tanh capping; the qv term
+            # joins BEFORE the cap (softcap applies to the full score,
+            # reference cute/interface.py semantics).
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * (scale_log2 / LOG2E)
+            if has_qv:
+                s = s + jax.lax.dot_general(
+                    qv_ref[0, 0].astype(v.dtype), v,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (scale_log2 / LOG2E)
             s = jnp.tanh(s / softcap) * softcap
             s2 = s * LOG2E
         elif has_descale:
@@ -185,10 +193,11 @@ def _fwd_kernel(
                 qs, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        if has_qv:
+        if has_qv and softcap == 0.0:
             # MLA qv term (reference flash_attn/cute/interface.py:3471):
             # scores += scale * qv . v (descaled by qd*vd on the fp8 path —
-            # v's descale applies wherever V enters the scores)
+            # v's descale applies wherever V enters the scores; under
+            # softcap the term is folded pre-tanh above)
             qvs = (qv_ref[0, 0].astype(jnp.float32) * scale_log2
                    ).astype(v.dtype)
             qv_term = jax.lax.dot_general(
@@ -416,6 +425,9 @@ def flash_attention_fwd(
     _, h_k, sk, _ = k.shape
     dv = v.shape[-1]
     assert h % h_k == 0, (h, h_k)
+    assert not (q_descale is not None and softcap > 0.0), \
+        "softcap + FP8 descale unsupported (reference constraint)"
+
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d if qv is None else d + dv)
     window_left, window_right = normalize_window(window_size)

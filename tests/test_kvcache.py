@@ -428,3 +428,27 @@ def test_kvcache_rotary_seqlens_override():
                                np.asarray(out2, np.float32),
                                atol=1e-2, rtol=1e-2)
     np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc3))
+
+
+def test_kvcache_qv_softcap_crossing():
+    """softcap x qv in decode: the cap applies to the full score."""
+    b, h, d, dv, s_max = 1, 2, 64, 32, 128
+    q = _mk(jax.random.PRNGKey(31), (b, 1, h, d)) * 3
+    qv = _mk(jax.random.PRNGKey(32), (b, 1, h, dv)) * 3
+    kc = _mk(jax.random.PRNGKey(33), (b, h, s_max, d)) * 3
+    vc = _mk(jax.random.PRNGKey(34), (b, h, s_max, dv))
+    seqlens = jnp.array([100], jnp.int32)
+    out = flash_attn_with_kvcache(
+        q, kc, vc, qv=qv, cache_seqlens=seqlens, causal=True, softcap=10.0)
+    kmask = jnp.arange(s_max)[None, :] < seqlens[:, None]
+    ref = attention_ref(
+        q.astype(jnp.float32), jnp.swapaxes(kc, 1, 2).astype(jnp.float32),
+        jnp.swapaxes(vc, 1, 2).astype(jnp.float32), None, kmask,
+        qv=qv.astype(jnp.float32), causal=True, softcap=10.0,
+        softmax_scale=1.0 / np.sqrt(d + dv))[0]
+    ref_lp = attention_ref(
+        q, jnp.swapaxes(kc, 1, 2), jnp.swapaxes(vc, 1, 2), None, kmask,
+        qv=qv, causal=True, softcap=10.0,
+        softmax_scale=1.0 / np.sqrt(d + dv), upcast=False,
+        reorder_ops=True)[0]
+    check_against_ref(out, ref, ref_lp, msg="kvcache qv softcap")

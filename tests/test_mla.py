@@ -164,3 +164,23 @@ def test_qv_term_kvcache_decode():
         q, jnp.swapaxes(kc, 1, 2), jnp.swapaxes(vc, 1, 2), None, kmask,
         qv=qv, causal=True, upcast=False, reorder_ops=True)
     check_against_ref(out, ref, ref_lp, msg="kvcache qv")
+
+
+def test_qv_softcap_crossing():
+    """softcap x qv: the cap applies to the FULL score q.k + qv.v
+    (round-3 kernel-order fix, pinned via the direct kernel path)."""
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+
+    b, h, s, d, dv = 1, 2, 256, 64, 32
+    ks = jax.random.split(jax.random.PRNGKey(17), 4)
+    q = jax.random.normal(ks[0], (b, h, s, d)) * 3
+    k = jax.random.normal(ks[1], (b, h, s, d)) * 3
+    v = jax.random.normal(ks[2], (b, h, s, dv))
+    qv = jax.random.normal(ks[3], (b, h, s, dv)) * 3
+    out, _ = flash_attention_fwd(q, k, v, qv=qv, causal=True, softcap=10.0,
+                                 interpret=True)
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    ref, _ = attention_ref(tr(q), tr(k), tr(v), qv=tr(qv), causal=True,
+                           softcap=10.0)
+    np.testing.assert_allclose(np.asarray(tr(out), np.float32),
+                               np.asarray(ref), atol=2e-3, rtol=2e-3)
