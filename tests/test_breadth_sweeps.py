@@ -110,3 +110,66 @@ def test_feature_seqlen_sweep(sq, sk, feature):
     ref_lp, _ = attention_ref(q, k, v, causal=True, attn_bias=bias,
                               upcast=False, reorder_ops=True, **ref_kw)
     check_against_ref(out, ref, ref_lp, msg=f"{feature} {sq}/{sk}")
+
+
+@pytest.mark.parametrize("h,h_k", [(8, 8), (8, 4), (8, 2), (8, 1)])
+def test_gqa_ratio_sweep(h, h_k):
+    """GQA group sizes 1..8 fwd+bwd (the reference parametrizes mha/gqa/
+    mqa through its main sweeps)."""
+    key = jax.random.PRNGKey(hash((h, h_k)) % 2**31)
+    q, k, v = _mk(key, 1, 256, 384, h, h_k, 64)
+    g = jax.random.normal(jax.random.PRNGKey(3), (1, 256, h, 64),
+                          jnp.float32).astype(jnp.bfloat16)
+    out = flash_attn_func(q, k, v, causal=True)
+    ref, _ = attention_ref(q, k, v, causal=True)
+    ref_lp, _ = attention_ref(q, k, v, causal=True, upcast=False,
+                              reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg=f"gqa {h}/{h_k}")
+
+    dq = jax.grad(lambda q: (flash_attn_func(q, k, v, causal=True)
+                             .astype(jnp.float32)
+                             * g.astype(jnp.float32)).sum())(q)
+    dq_ref = jax.grad(lambda q: (attention_ref(q, k, v, causal=True)[0]
+                                 * g.astype(jnp.float32)).sum())(
+        q.astype(jnp.float32))
+    dq_lp = jax.grad(lambda q: (attention_ref(q, k, v, causal=True,
+                                              upcast=False,
+                                              reorder_ops=True)[0]
+                                .astype(jnp.float32)
+                                * g.astype(jnp.float32)).sum())(q)
+    check_against_ref(dq, dq_ref, dq_lp, mult=3.0, atol=1e-4,
+                      msg=f"dq gqa {h}/{h_k}")
+
+
+@pytest.mark.parametrize("window", [(32, 0), (64, 16)])
+def test_paged_decode_window_sweep(window):
+    """paged KV x sliding window in decode."""
+    from flash_attn_tpu import flash_attn_with_kvcache
+    from flash_attn_tpu.utils.testing import attention_ref as aref
+
+    b, h, h_k, d = 2, 4, 2, 64
+    page_size, pages_per_seq = 64, 4
+    s_max = page_size * pages_per_seq
+    num_pages = b * pages_per_seq
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, 1, h, d), jnp.bfloat16)
+    kp = jax.random.normal(jax.random.PRNGKey(2),
+                           (num_pages, h_k, page_size, d), jnp.bfloat16)
+    vp = jax.random.normal(jax.random.PRNGKey(3),
+                           (num_pages, h_k, page_size, d), jnp.bfloat16)
+    table = jnp.arange(num_pages, dtype=jnp.int32).reshape(b, pages_per_seq)
+    seqlens = jnp.array([s_max - 3, s_max // 2], jnp.int32)
+    out = flash_attn_with_kvcache(
+        q, kp, vp, cache_seqlens=seqlens, block_table=table, causal=True,
+        window_size=window)
+    k_lin = (kp[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    v_lin = (vp[table].reshape(b, pages_per_seq, h_k, page_size, d)
+             .transpose(0, 1, 3, 2, 4).reshape(b, s_max, h_k, d))
+    kmask = jnp.arange(s_max)[None, :] < seqlens[:, None]
+    ref, _ = aref(q.astype(jnp.float32), k_lin.astype(jnp.float32),
+                  v_lin.astype(jnp.float32), None, kmask, causal=True,
+                  window_size=(window[0], 0))
+    ref_lp, _ = aref(q, k_lin, v_lin, None, kmask, causal=True,
+                     window_size=(window[0], 0), upcast=False,
+                     reorder_ops=True)
+    check_against_ref(out, ref, ref_lp, msg=f"paged window {window}")
