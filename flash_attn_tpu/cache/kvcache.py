@@ -178,8 +178,8 @@ def flash_attn_with_kvcache(
                 seqlen_offsets=pos_k,
             )
         # append happens in flash_attention_decode via kv_cache_update
-        # (unique-indices XLA scatter; an in-kernel DMA append was tried
-        # and removed — see the note in kernels/flash_decode.py).
+        # (unrolled in-place DUS chain — see kv_cache_update's note; an
+        # in-kernel DMA append was tried and removed, kernels/flash_decode).
         k_new, v_new = k, v
     if rotary_cos is not None:
         # q tokens sit at positions old_len-leftpad .. +sq (causal decode
