@@ -25,6 +25,8 @@ __all__ = [
     "dropout_add_layer_norm",
     "dropout_add_rms_norm",
     "dropout_add_layer_norm_parallel_residual",
+    "dropout_add_layer_norm_subset",
+    "dropout_add_rms_norm_subset",
 ]
 
 
@@ -124,3 +126,62 @@ def dropout_add_layer_norm_parallel_residual(
         layer_norm(pre, weight1, bias1, epsilon) if weight1 is not None else None
     )
     return (out0, out1, pre) if prenorm else (out0, out1)
+
+
+def _subset_norm(x0, residual, weight, bias, dropout_p, epsilon, key,
+                 layerscale, x0_subset, out_subset, rowscale_const,
+                 out_numrows, prenorm, use_rms):
+    """Shared body of the subset (drop-path / stochastic-depth) variants.
+
+    Reference semantics (flash_attn/ops/layer_norm.py:693
+    ``dropout_add_layer_norm_subset`` + csrc/layer_norm ln_api.cpp subset
+    args; exercised by tests/ops/test_dropout_layer_norm.py:435):
+    ``x0`` holds only the KEPT rows, packed; ``x0_subset`` (b, s) is the
+    1-based cumulative row index into x0 with 0 = row dropped by the path
+    mask; kept rows are scaled by ``rowscale_const`` (the 1/(1-drop_rate)
+    drop-path scale) and optionally ``layerscale`` (per-column), then
+    dropout, scatter into the (b, s) stream, residual add, norm; the
+    output keeps only the rows where ``out_subset`` > 0, packed to
+    ``out_numrows`` (static).
+    """
+    b, s_ = x0_subset.shape
+    d = x0.shape[-1]
+    if layerscale is not None:
+        x0 = x0 * layerscale.astype(x0.dtype)
+    x0 = _dropout(x0, dropout_p, key) * rowscale_const
+    flat = x0_subset.reshape(-1).astype(jnp.int32)
+    gathered = jnp.where(
+        (flat > 0)[:, None],
+        x0.astype(jnp.float32)[jnp.clip(flat - 1, 0, x0.shape[0] - 1)],
+        0.0,
+    )
+    pre = gathered.reshape(b, s_, d)
+    if residual is not None:
+        pre = pre + residual.astype(jnp.float32)
+    pre = pre.astype(residual.dtype if residual is not None else x0.dtype)
+    normed = (rms_norm(pre, weight, epsilon) if use_rms
+              else layer_norm(pre, weight, bias, epsilon))
+    oflat = out_subset.reshape(-1).astype(jnp.int32)
+    idx = jnp.nonzero(oflat > 0, size=int(out_numrows))[0]
+    out = normed.reshape(-1, d)[idx]
+    return (out, pre) if prenorm else out
+
+
+def dropout_add_layer_norm_subset(
+    x0, residual, weight, bias, dropout_p, epsilon, key=None,
+    layerscale=None, x0_subset=None, out_subset=None,
+    rowscale_const: float = 1.0, out_numrows: int = 0, prenorm=False,
+):
+    return _subset_norm(x0, residual, weight, bias, dropout_p, epsilon,
+                        key, layerscale, x0_subset, out_subset,
+                        rowscale_const, out_numrows, prenorm, use_rms=False)
+
+
+def dropout_add_rms_norm_subset(
+    x0, residual, weight, dropout_p, epsilon, key=None,
+    layerscale=None, x0_subset=None, out_subset=None,
+    rowscale_const: float = 1.0, out_numrows: int = 0, prenorm=False,
+):
+    return _subset_norm(x0, residual, weight, None, dropout_p, epsilon,
+                        key, layerscale, x0_subset, out_subset,
+                        rowscale_const, out_numrows, prenorm, use_rms=True)

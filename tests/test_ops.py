@@ -102,3 +102,45 @@ def test_cross_entropy_vocab_parallel_matches_single():
     ))(logits, labels)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=1e-5)
+
+
+def test_dropout_add_layer_norm_subset():
+    """Drop-path subset norm (reference ops/layer_norm.py:693 +
+    tests/ops/test_dropout_layer_norm.py:435 semantics): packed kept rows
+    scatter into the stream with the drop-path scale, LN, packed output
+    subset."""
+    from flash_attn_tpu.ops.norm import (
+        dropout_add_layer_norm_subset,
+        layer_norm,
+    )
+
+    rng = np.random.default_rng(0)
+    b, s, d = 4, 8, 32
+    drop_scale = 1.0 / (1 - 0.25)
+    keep_in = np.array([True, False, True, True])
+    keep_out = np.array([True, True, False, True])
+
+    def subset_of(mask):
+        flat = np.repeat(mask, s)
+        sub = np.cumsum(flat).astype(np.int32)
+        sub[~flat] = 0
+        return jnp.asarray(sub.reshape(b, s))
+
+    x0_sub, out_sub = subset_of(keep_in), subset_of(keep_out)
+    n_in, n_out = int(keep_in.sum()) * s, int(keep_out.sum()) * s
+    x0 = jnp.asarray(rng.normal(size=(n_in, d)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(d,)), jnp.float32)
+
+    out = dropout_add_layer_norm_subset(
+        x0, res, w, bias, 0.0, 1e-5, layerscale=ls, x0_subset=x0_sub,
+        out_subset=out_sub, rowscale_const=drop_scale, out_numrows=n_out)
+
+    # dense reference
+    x_full = np.zeros((b, s, d), np.float32)
+    x_full[keep_in] = np.asarray(x0 * ls).reshape(-1, s, d) * drop_scale
+    normed = layer_norm(jnp.asarray(x_full) + res, w, bias, 1e-5)
+    ref = np.asarray(normed)[keep_out].reshape(n_out, d)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
