@@ -51,6 +51,12 @@ class TrainConfig:
     adam_b2: float = 0.95
     data_parallel: int = 1
     model_parallel: int = 1
+    # Gradient accumulation (the reference trains under Lightning's
+    # accumulate_grad_batches, configs/trainer/all_params.yaml:18): the
+    # per-step batch is split into this many micro-batches whose fp32
+    # gradients are averaged inside ONE jitted step (lax.scan — a single
+    # grads buffer, not N).
+    accumulate_steps: int = 1
     zero1: bool = True
     zero2: bool = False      # also shard gradients over the data axis
     ema_decay: float = 0.0   # 0 disables (reference callbacks/ema.py)
@@ -137,15 +143,37 @@ class Trainer:
             if cfg.loss_scale_init > 0 else None)
 
         def train_step(params, opt_state, input_ids, labels, ema, scaler):
-            def loss_fn(p):
-                logits = model.apply({"params": p}, input_ids)
-                loss = cross_entropy_loss(logits, labels)
+            def loss_fn(p, ids, labs):
+                logits = model.apply({"params": p}, ids)
+                loss = cross_entropy_loss(logits, labs)
                 if scaler is not None:
                     return loss * scaler["scale"], loss
                 return loss, loss
 
-            (_, loss), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            if cfg.accumulate_steps > 1:
+                A = cfg.accumulate_steps
+                bsz = input_ids.shape[0]
+                assert bsz % A == 0, (bsz, A)
+                ids_m = input_ids.reshape(A, bsz // A, -1)
+                labs_m = labels.reshape(A, bsz // A, -1)
+
+                def micro(carry, xs):
+                    acc, loss_sum = carry
+                    (_, l), g = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params, xs[0], xs[1])
+                    acc = jax.tree_util.tree_map(
+                        lambda a, gi: a + gi.astype(jnp.float32), acc, g)
+                    return (acc, loss_sum + l), None
+
+                zeros = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params)
+                (grads, loss_sum), _ = jax.lax.scan(
+                    micro, (zeros, jnp.float32(0)), (ids_m, labs_m))
+                grads = jax.tree_util.tree_map(lambda g: g / A, grads)
+                loss = loss_sum / A
+            else:
+                (_, loss), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, input_ids, labels)
             if scaler is not None:
                 inv = 1.0 / scaler["scale"]
                 grads = jax.tree_util.tree_map(

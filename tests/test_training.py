@@ -272,3 +272,49 @@ def test_image_dataloader_resume_and_vit_train_step(tmp_path):
                                  jnp.asarray(labels_b))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_grad_accumulation_matches_full_batch(token_file):
+    """accumulate_steps=2 over the same total batch matches the
+    full-batch step (mean-of-micro-grads == grad-of-mean; reference
+    Lightning accumulate_grad_batches parity)."""
+    import dataclasses
+
+    from flash_attn_tpu.models.gpt import GPTConfig
+
+    base = TrainConfig(
+        model=GPTConfig(vocab_size=128, n_positions=0, n_embd=64,
+                        n_layer=2, n_head=4, rotary_emb_fraction=1.0,
+                        use_rms_norm=True, glu_act=True, dtype=jnp.float32),
+        batch_size=4, seqlen=64, lr=1e-3,
+        warmup_steps=1, total_steps=6, zero1=False, log_every=10**9)
+    tr_full = Trainer(base)
+    tr_acc = Trainer(dataclasses.replace(base, accumulate_steps=2))
+    # identical init
+    tr_acc.params = jax.tree_util.tree_map(jnp.copy, tr_full.params)
+    tr_acc.opt_state = jax.tree_util.tree_map(jnp.copy, tr_full.opt_state)
+
+    ds = TokenDataset(token_file, seqlen=64)
+    dl1 = LMDataLoader(ds, batch_size=4, sampler=FaultTolerantSampler(
+        len(ds), seed=7))
+    dl2 = LMDataLoader(ds, batch_size=4, sampler=FaultTolerantSampler(
+        len(ds), seed=7))
+    it1, it2 = iter(dl1), iter(dl2)
+    with jax.set_mesh(tr_full.mesh):
+        for _ in range(3):
+            inp, lab = next(it1)
+            (tr_full.params, tr_full.opt_state, l1, g1, _, _) = tr_full._step(
+                tr_full.params, tr_full.opt_state, jnp.asarray(inp),
+                jnp.asarray(lab), None, None)
+    with jax.set_mesh(tr_acc.mesh):
+        for _ in range(3):
+            inp, lab = next(it2)
+            (tr_acc.params, tr_acc.opt_state, l2, g2, _, _) = tr_acc._step(
+                tr_acc.params, tr_acc.opt_state, jnp.asarray(inp),
+                jnp.asarray(lab), None, None)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a.astype(jnp.float32)
+                                   - b.astype(jnp.float32)).max()),
+        tr_full.params, tr_acc.params)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-4
