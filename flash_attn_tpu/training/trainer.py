@@ -327,6 +327,28 @@ class Trainer:
         return stats
 
     # ------------------------------------------------------------------
+    def evaluate(self, dataloader, steps: int = 50):
+        """Mean eval loss over `steps` batches (the reference's validation
+        loop, training/src/eval.py + Lightning val_check_interval): no
+        dropout, no parameter updates, EMA weights if enabled."""
+        params = self.ema_params if self.ema_params is not None else self.params
+        model = self.model
+
+        @jax.jit
+        def eval_step(params, ids, labels):
+            logits = model.apply({"params": params}, ids)
+            return cross_entropy_loss(logits, labels)
+
+        total, n = 0.0, 0
+        it = iter(dataloader)
+        with jax.set_mesh(self.mesh):
+            for _ in range(steps):
+                inp, lab = next(it)
+                total += float(eval_step(params, jnp.asarray(inp),
+                                         jnp.asarray(lab)))
+                n += 1
+        return total / max(n, 1)
+
     def save_checkpoint(self, dataloader=None, tag: Optional[str] = None):
         import orbax.checkpoint as ocp
 

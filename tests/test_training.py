@@ -318,3 +318,33 @@ def test_grad_accumulation_matches_full_batch(token_file):
                                    - b.astype(jnp.float32)).max()),
         tr_full.params, tr_acc.params)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-4
+
+
+def test_evaluate_loop(token_file):
+    """Trainer.evaluate (reference src/eval.py / Lightning validation):
+    returns a finite mean loss and decreases after training steps."""
+    cfg = TrainConfig(
+        model=GPTConfig(vocab_size=128, n_positions=0, n_embd=64,
+                        n_layer=2, n_head=4, rotary_emb_fraction=1.0,
+                        use_rms_norm=True, glu_act=True, dtype=jnp.float32),
+        batch_size=4, seqlen=64, lr=3e-3, warmup_steps=1, total_steps=30,
+        zero1=False, log_every=10**9)
+    tr = Trainer(cfg)
+    ds = TokenDataset(token_file, seqlen=64)
+    val = LMDataLoader(ds, batch_size=4,
+                       sampler=FaultTolerantSampler(len(ds), seed=9,
+                                                    shuffle=False))
+    loss0 = tr.evaluate(val, steps=4)
+    train = LMDataLoader(ds, batch_size=4,
+                         sampler=FaultTolerantSampler(len(ds), seed=1))
+    it = iter(train)
+    with jax.set_mesh(tr.mesh):
+        for _ in range(25):
+            inp, lab = next(it)
+            (tr.params, tr.opt_state, l, g, tr.ema_params,
+             tr.scaler) = tr._step(tr.params, tr.opt_state,
+                                   jnp.asarray(inp), jnp.asarray(lab),
+                                   tr.ema_params, tr.scaler)
+    loss1 = tr.evaluate(val, steps=4)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    assert loss1 < loss0, (loss0, loss1)
