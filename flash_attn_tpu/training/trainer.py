@@ -46,6 +46,10 @@ class TrainConfig:
     weight_decay: float = 0.1
     warmup_steps: int = 100
     total_steps: int = 1000
+    # LR schedule family (the reference's Hydra scheduler tree,
+    # training/configs/scheduler/): cosine (default) | linear | constant
+    # | step (decay 10x at 60%/85% of total) — all with linear warmup
+    lr_schedule: str = "cosine"
     grad_clip: float = 1.0
     adam_b1: float = 0.9
     adam_b2: float = 0.95
@@ -100,8 +104,29 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build(self):
         cfg = self.cfg
-        schedule = optax.warmup_cosine_decay_schedule(
-            0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.lr * 0.1)
+        if cfg.lr_schedule == "cosine":
+            schedule = optax.warmup_cosine_decay_schedule(
+                0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps, cfg.lr * 0.1)
+        elif cfg.lr_schedule == "linear":
+            schedule = optax.join_schedules([
+                optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps),
+                optax.linear_schedule(cfg.lr, cfg.lr * 0.1,
+                                      cfg.total_steps - cfg.warmup_steps),
+            ], [cfg.warmup_steps])
+        elif cfg.lr_schedule == "constant":
+            schedule = optax.join_schedules([
+                optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps),
+                optax.constant_schedule(cfg.lr),
+            ], [cfg.warmup_steps])
+        elif cfg.lr_schedule == "step":
+            schedule = optax.join_schedules([
+                optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps),
+                optax.piecewise_constant_schedule(
+                    cfg.lr, {int(cfg.total_steps * 0.6): 0.1,
+                             int(cfg.total_steps * 0.85): 0.1}),
+            ], [cfg.warmup_steps])
+        else:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
@@ -251,7 +276,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, dataloader, steps: Optional[int] = None,
-            log_fn: Callable[[Dict[str, Any]], None] = None):
+            log_fn: Callable[[Dict[str, Any]], None] = None,
+            val_dataloader=None, eval_every: int = 0, eval_steps: int = 20):
         cfg = self.cfg
         steps = steps or cfg.total_steps
         log_fn = log_fn or (lambda m: print(json.dumps(m), flush=True))
@@ -269,6 +295,13 @@ class Trainer:
                         jnp.asarray(inp), jnp.asarray(lab), self.ema_params,
                         self.scaler)
                     self.step_count += 1
+                    if (val_dataloader is not None and eval_every > 0
+                            and self.step_count % eval_every == 0):
+                        # periodic validation (the reference's Lightning
+                        # val_check_interval)
+                        vl = self.evaluate(val_dataloader, steps=eval_steps)
+                        log_fn({"step": self.step_count,
+                                "val_loss": round(vl, 4)})
                     if self.step_count % cfg.log_every == 0:
                         loss_v = float(loss)
                         now = time.perf_counter()

@@ -348,3 +348,27 @@ def test_evaluate_loop(token_file):
     loss1 = tr.evaluate(val, steps=4)
     assert np.isfinite(loss0) and np.isfinite(loss1)
     assert loss1 < loss0, (loss0, loss1)
+
+
+def test_lr_schedules_build_and_step(token_file):
+    """Every lr_schedule family builds and trains a step (reference Hydra
+    scheduler tree parity)."""
+    ds = TokenDataset(token_file, seqlen=64)
+    for sched in ("cosine", "linear", "constant", "step"):
+        cfg = TrainConfig(
+            model=GPTConfig(vocab_size=128, n_positions=0, n_embd=32,
+                            n_layer=1, n_head=2, rotary_emb_fraction=1.0,
+                            use_rms_norm=True, glu_act=True,
+                            dtype=jnp.float32),
+            batch_size=2, seqlen=64, lr=1e-3, warmup_steps=2,
+            total_steps=10, zero1=False, log_every=10**9,
+            lr_schedule=sched)
+        tr = Trainer(cfg)
+        dl = LMDataLoader(ds, batch_size=2,
+                          sampler=FaultTolerantSampler(len(ds), seed=2))
+        inp, lab = next(iter(dl))
+        with jax.set_mesh(tr.mesh):
+            (_, _, loss, _, _, _) = tr._step(
+                tr.params, tr.opt_state, jnp.asarray(inp), jnp.asarray(lab),
+                None, None)
+        assert np.isfinite(float(loss)), sched
