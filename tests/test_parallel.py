@@ -174,3 +174,25 @@ def test_ring_attention_no_double_compute():
     assert not unconditional, (
         f"{len(unconditional)} pallas_call(s) outside lax.cond — "
         "ring step computes mask variants unconditionally")
+
+
+def test_ring_attention_gqa():
+    """Context-parallel ring attention with GQA (h_k < h): matches the
+    single-device kernel."""
+    from flash_attn_tpu.parallel.attention import ring_attention
+    from flash_attn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=1, seq=4)
+    b, h, h_k, s, d = 1, 4, 2, 256, 64
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (b, h_k, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(3), (b, h_k, s, d), jnp.float32)
+    from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+
+    ring = ring_attention(mesh, causal=True, interpret=True)
+    with jax.set_mesh(mesh):
+        out = ring(q, k, v)
+    ref, _ = flash_attention_fwd(q, k, v, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-3, rtol=2e-3)
