@@ -208,3 +208,27 @@ def test_engine_fp8_paged_crossing(model_and_params):
         total += len(a)
         mismatches += sum(x != y for x, y in zip(a, b))
     assert mismatches <= max(1, total // 4), (mismatches, total)
+
+
+def test_engine_eos_early_release(model_and_params):
+    """eos_token_id finishes a request early and frees its slot for the
+    next admission (continuous batching semantics)."""
+    model, params = model_and_params
+    # find the model's greedy first-token for a prompt, use it as EOS so
+    # the request finishes immediately after one decode step
+    probe = InferenceEngine(model, params, max_batch=2,
+                            gen_cfg=GenerationConfig(top_k=1))
+    rid = probe.submit([1, 2, 3], max_new_tokens=4)
+    toks = probe.run()[rid]
+    eos = toks[0]
+
+    eng = InferenceEngine(model, params, max_batch=1,
+                          gen_cfg=GenerationConfig(top_k=1,
+                                                   eos_token_id=int(eos)))
+    r1 = eng.submit([1, 2, 3], max_new_tokens=32)
+    r2 = eng.submit([5, 6, 7, 8], max_new_tokens=2)
+    out = eng.run(max_steps=40)
+    # r1 ended at the eos token (far before 32 new tokens)
+    assert len(out[r1]) <= 2, out[r1]
+    # r2 still ran (slot was released and re-admitted)
+    assert len(out[r2]) >= 1
