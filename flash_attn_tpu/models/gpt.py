@@ -244,6 +244,24 @@ class _NormHead(nn.Module):
         return x @ (kernel / norm).astype(self.dtype)
 
 
+def lm_head_weights(params, cfg: GPTConfig):
+    """Resolve the lm_head weight straight from the param pytree, as
+    ``(kernel, transpose_kernel)`` for
+    :func:`flash_attn_tpu.ops.cross_entropy.fused_linear_cross_entropy`:
+    ``logits = hidden @ (kernel.T if transpose_kernel else kernel)``.
+
+    Tied embeddings -> the (vocab, d) embedding table (transpose=True);
+    untied -> the Dense (d, vocab) kernel, with NormHead's column
+    normalization applied here (matching :class:`_NormHead`)."""
+    if cfg.tie_word_embeddings:
+        k = params["transformer"]["embeddings"]["word_embeddings"]["embedding"]
+        return k.astype(cfg.dtype), True
+    k = params["lm_head"]["kernel"]
+    if cfg.norm_head:
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=0, keepdims=True), 1e-12)
+    return k.astype(cfg.dtype), False
+
+
 class GPTLMHeadModel(nn.Module):
     config: GPTConfig
 
@@ -282,3 +300,13 @@ class GPTLMHeadModel(nn.Module):
         if output_scale != 1.0:
             logits = logits * output_scale
         return logits
+
+    def forward_hidden(self, input_ids, position_ids=None,
+                       mode: str = "train", deterministic: bool = True,
+                       **mixer_kwargs):
+        """Transformer trunk only — final hidden states, no lm_head. Used by
+        the fused-CE training path (ops/cross_entropy.py
+        fused_linear_cross_entropy), which folds the lm_head matmul into the
+        chunked loss so the (b, s, vocab) logits never materialize."""
+        return self.transformer(input_ids, position_ids, mode=mode,
+                                deterministic=deterministic, **mixer_kwargs)

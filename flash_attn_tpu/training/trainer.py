@@ -29,8 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from flash_attn_tpu.models.gpt import GPTConfig, GPTLMHeadModel
-from flash_attn_tpu.ops.cross_entropy import cross_entropy_loss
+from flash_attn_tpu.models.gpt import (GPTConfig, GPTLMHeadModel,
+                                       lm_head_weights)
+from flash_attn_tpu.ops.cross_entropy import (cross_entropy_loss,
+                                              fused_linear_cross_entropy)
 from flash_attn_tpu.parallel.mesh import make_mesh
 from flash_attn_tpu.parallel.sharding import gpt_param_sharding
 
@@ -63,6 +65,13 @@ class TrainConfig:
     accumulate_steps: int = 1
     zero1: bool = True
     zero2: bool = False      # also shard gradients over the data axis
+    # Fused lm_head + chunked cross-entropy (the reference's Triton
+    # inplace-backward CE memory play, ops/triton/cross_entropy.py): the
+    # (b, s, vocab) fp32 logits tensor never materializes — loss is computed
+    # per token chunk under jax.checkpoint. ~2.5 GB saved at the 913M bench
+    # shape, which is what caps the batch size on a 16 GB chip.
+    fused_ce: bool = True
+    fused_ce_chunk: int = 4096
     ema_decay: float = 0.0   # 0 disables (reference callbacks/ema.py)
     # Dynamic loss scaling for fp16 training (reference trains fp16 under
     # Lightning's GradScaler and monitors the scale via
@@ -167,10 +176,25 @@ class Trainer:
              "good_steps": jnp.int32(0)}
             if cfg.loss_scale_init > 0 else None)
 
+        mcfg = cfg.model
+        output_scale = mcfg.mup_output_multiplier * mcfg.mup_width_scale
+
+        def compute_loss(p, ids, labs):
+            if cfg.fused_ce:
+                hidden = model.apply({"params": p}, ids,
+                                     method="forward_hidden")
+                kernel, transpose = lm_head_weights(p, mcfg)
+                return fused_linear_cross_entropy(
+                    hidden.astype(mcfg.dtype), kernel, labs,
+                    transpose_kernel=transpose,
+                    chunk_size=cfg.fused_ce_chunk,
+                    logit_scale=output_scale)
+            logits = model.apply({"params": p}, ids)
+            return cross_entropy_loss(logits, labs)
+
         def train_step(params, opt_state, input_ids, labels, ema, scaler):
             def loss_fn(p, ids, labs):
-                logits = model.apply({"params": p}, ids)
-                loss = cross_entropy_loss(logits, labs)
+                loss = compute_loss(p, ids, labs)
                 if scaler is not None:
                     return loss * scaler["scale"], loss
                 return loss, loss
@@ -367,8 +391,21 @@ class Trainer:
         params = self.ema_params if self.ema_params is not None else self.params
         model = self.model
 
+        cfg = self.cfg
+        mcfg = cfg.model
+        output_scale = mcfg.mup_output_multiplier * mcfg.mup_width_scale
+
         @jax.jit
         def eval_step(params, ids, labels):
+            if cfg.fused_ce:
+                hidden = model.apply({"params": params}, ids,
+                                     method="forward_hidden")
+                kernel, transpose = lm_head_weights(params, mcfg)
+                return fused_linear_cross_entropy(
+                    hidden.astype(mcfg.dtype), kernel, labels,
+                    transpose_kernel=transpose,
+                    chunk_size=cfg.fused_ce_chunk,
+                    logit_scale=output_scale)
             logits = model.apply({"params": params}, ids)
             return cross_entropy_loss(logits, labels)
 

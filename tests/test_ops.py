@@ -144,3 +144,61 @@ def test_dropout_add_layer_norm_subset():
     normed = layer_norm(jnp.asarray(x_full) + res, w, bias, 1e-5)
     ref = np.asarray(normed)[keep_out].reshape(n_out, d)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused lm_head + chunked cross-entropy (reference: the Triton CE's
+# inplace-backward memory play, flash_attn/ops/triton/cross_entropy.py —
+# here chunking + jax.checkpoint so (tokens, vocab) logits never materialize)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("transpose_kernel", [False, True])
+@pytest.mark.parametrize("smoothing,zloss,scale", [
+    (0.0, 0.0, 1.0), (0.1, 1e-4, 2.0)])
+def test_fused_linear_ce_matches_naive(transpose_kernel, smoothing, zloss,
+                                       scale):
+    from flash_attn_tpu.ops.cross_entropy import fused_linear_cross_entropy
+
+    d, vocab, b, s = 64, 517, 3, 37   # odd tokens: exercises chunk padding
+    kx, kw, kl = jax.random.split(jax.random.PRNGKey(0), 3)
+    hidden = jax.random.normal(kx, (b, s, d), jnp.float32)
+    kernel = jax.random.normal(
+        kw, (vocab, d) if transpose_kernel else (d, vocab), jnp.float32) * 0.1
+    labels = jax.random.randint(kl, (b, s), 0, vocab)
+    labels = labels.at[0, :5].set(-100)   # ignore_index positions
+
+    def naive(hidden, kernel):
+        logits = hidden @ (kernel.T if transpose_kernel else kernel)
+        return cross_entropy_loss(logits, labels, label_smoothing=smoothing,
+                                  logit_scale=scale, lse_square_scale=zloss)
+
+    def fused(hidden, kernel):
+        return fused_linear_cross_entropy(
+            hidden, kernel, labels, transpose_kernel=transpose_kernel,
+            chunk_size=32, label_smoothing=smoothing, logit_scale=scale,
+            lse_square_scale=zloss)
+
+    ref, (dh_ref, dk_ref) = jax.value_and_grad(naive, (0, 1))(hidden, kernel)
+    got, (dh, dk) = jax.value_and_grad(fused, (0, 1))(hidden, kernel)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduction", ["none", "sum"])
+def test_fused_linear_ce_reductions(reduction):
+    from flash_attn_tpu.ops.cross_entropy import fused_linear_cross_entropy
+
+    d, vocab, b, s = 32, 101, 2, 24
+    kx, kw, kl = jax.random.split(jax.random.PRNGKey(1), 3)
+    hidden = jax.random.normal(kx, (b, s, d), jnp.float32)
+    kernel = jax.random.normal(kw, (d, vocab), jnp.float32) * 0.1
+    labels = jax.random.randint(kl, (b, s), 0, vocab)
+    labels = labels.at[1, -3:].set(-100)
+    ref = cross_entropy_loss(hidden @ kernel, labels, reduction=reduction)
+    got = fused_linear_cross_entropy(hidden, kernel, labels, chunk_size=16,
+                                     reduction=reduction)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)

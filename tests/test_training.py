@@ -372,3 +372,62 @@ def test_lr_schedules_build_and_step(token_file):
                 tr.params, tr.opt_state, jnp.asarray(inp), jnp.asarray(lab),
                 None, None)
         assert np.isfinite(float(loss)), sched
+
+
+def test_fused_ce_matches_naive_logits_path(token_file):
+    """fused_ce=True (chunked lm_head+CE, no (b,s,vocab) logits) must train
+    identically to the naive full-logits path (fp32 model, tight tol)."""
+    def run(fused):
+        cfg = TrainConfig(
+            model=GPTConfig(
+                vocab_size=128, n_positions=0, n_embd=64, n_layer=2, n_head=4,
+                rotary_emb_fraction=1.0, use_rms_norm=True, glu_act=True,
+                max_decode_seqlen=64, dtype=jnp.float32,
+            ),
+            batch_size=2, seqlen=128, lr=1e-3, warmup_steps=2, total_steps=20,
+            zero1=False, log_every=1, seed=3, fused_ce=fused,
+            fused_ce_chunk=64,
+        )
+        ds = TokenDataset(token_file, seqlen=cfg.seqlen)
+        loader = LMDataLoader(ds, cfg.batch_size)
+        trainer = Trainer(cfg)
+        logs = []
+        trainer.fit(loader, steps=3, log_fn=logs.append)
+        vl = trainer.evaluate(LMDataLoader(ds, cfg.batch_size), steps=2)
+        return [l["loss"] for l in logs], vl
+
+    naive_losses, naive_val = run(False)
+    fused_losses, fused_val = run(True)
+    np.testing.assert_allclose(fused_losses, naive_losses, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(fused_val, naive_val, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ce_untied_normhead(token_file):
+    """lm_head_weights resolves the untied NormHead kernel identically to the
+    model's own head (baichuan-v2 NormHead, reference models/gpt.py:657)."""
+    cfg = TrainConfig(
+        model=GPTConfig(
+            vocab_size=128, n_positions=0, n_embd=64, n_layer=1, n_head=4,
+            rotary_emb_fraction=1.0, use_rms_norm=True,
+            tie_word_embeddings=False, norm_head=True,
+            max_decode_seqlen=64, dtype=jnp.float32,
+            mup_output_multiplier=1.5,
+        ),
+        batch_size=2, seqlen=64, zero1=False, log_every=1, seed=5,
+        fused_ce=True, fused_ce_chunk=32,
+    )
+    ds = TokenDataset(token_file, seqlen=cfg.seqlen)
+    loader = LMDataLoader(ds, cfg.batch_size)
+    trainer = Trainer(cfg)
+    inp, lab = next(iter(loader))
+    ids, labs = jnp.asarray(inp), jnp.asarray(lab)
+    with jax.set_mesh(trainer.mesh):
+        # naive loss through the model's own lm_head (incl. muP scale)
+        from flash_attn_tpu.ops.cross_entropy import cross_entropy_loss
+        logits = trainer.model.apply({"params": trainer.params}, ids)
+        ref = float(cross_entropy_loss(logits, labs))
+        (_, _, loss, *_rest) = trainer._step(
+            trainer.params, trainer.opt_state, ids, labs,
+            trainer.ema_params, trainer.scaler)
+        np.testing.assert_allclose(float(loss), ref, rtol=2e-5)
