@@ -70,6 +70,10 @@ class GPTConfig:
     # Halves decode-path cache reads — the serving throughput bottleneck.
     kv_cache_dtype: Optional[jnp.dtype] = None
     kv_cache_scale: float = 1.0
+    # Context-parallel (ring) attention over the mesh's seq axis in train
+    # mode — long-context training beyond one device's activation memory
+    # (MHA.context_parallel; set by TrainConfig.seq_parallel > 1).
+    context_parallel: bool = False
     # Per-layer activation rematerialization (jax.checkpoint / flax
     # nn.remat) in train mode: trades ~1/3 extra fwd FLOPs for O(layers)
     # less activation memory. The reference's headline 72%-MFU number is
@@ -131,6 +135,7 @@ def _mixer_factory(cfg: GPTConfig):
         paged_kv_page_size=cfg.paged_kv_page_size,
         kv_cache_dtype=cfg.kv_cache_dtype,
         kv_cache_scale=cfg.kv_cache_scale,
+        context_parallel=cfg.context_parallel,
         dtype=cfg.dtype,
         name="mixer",
     )

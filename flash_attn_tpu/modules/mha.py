@@ -101,6 +101,12 @@ class MHA(nn.Module):
     # HBM traffic (the serving bottleneck) halves vs bf16.
     kv_cache_dtype: Optional[jnp.dtype] = None
     kv_cache_scale: float = 1.0
+    # Context parallelism (long-context training): run train-mode attention
+    # as striped ring attention over the mesh's seq axis
+    # (parallel/attention.ring_attention_apply). Requires the caller to be
+    # inside jax.set_mesh on a mesh with a "seq" axis (Trainer does this when
+    # TrainConfig.seq_parallel > 1); plain causal/non-causal only.
+    context_parallel: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -258,11 +264,26 @@ class MHA(nn.Module):
                                          self.rotary_emb_interleaved)
                     k = apply_rotary_emb(k, cos, sin,
                                          self.rotary_emb_interleaved)
-                ctx = flash_attn_func(
-                    q, k, v, causal=self.causal, window_size=self.window_size,
-                    softcap=self.softcap, softmax_scale=self.softmax_scale,
-                    alibi_slopes=slopes,
-                )
+                if self.context_parallel and not prefill:
+                    assert (self.window_size == (-1, -1)
+                            and self.softcap == 0.0 and slopes is None), \
+                        "context_parallel: plain causal/non-causal only"
+                    from flash_attn_tpu.interface import _use_interpret
+                    from flash_attn_tpu.parallel.attention import (
+                        ring_attention_apply)
+                    tr = lambda t: jnp.swapaxes(t, 1, 2)  # bshd <-> bhsd
+                    ctx = tr(ring_attention_apply(
+                        tr(q), tr(k), tr(v), causal=self.causal,
+                        softmax_scale=self.softmax_scale,
+                        interpret=_use_interpret()))
+                else:
+                    ctx = flash_attn_func(
+                        q, k, v, causal=self.causal,
+                        window_size=self.window_size,
+                        softcap=self.softcap,
+                        softmax_scale=self.softmax_scale,
+                        alibi_slopes=slopes,
+                    )
                 if prefill:
                     # fill the decode cache with the (already-rotated) keys
                     from flash_attn_tpu.cache.kvcache import kv_cache_update
@@ -298,15 +319,17 @@ class MHA(nn.Module):
                     if quant and self.kv_cache_scale != 1.0:
                         k_st = k / self.kv_cache_scale
                         v_st = v / self.kv_cache_scale
-                    k_new, v_new = kv_cache_update(
-                        kcache.value, vcache.value, k_st, v_st,
-                        write_offsets, block_table=bt,
-                        cache_batch_idx=None if paged else slot_ids)
-                    kcache.value = k_new
-                    vcache.value = v_new
                     lengths = (jnp.full((b,), s, jnp.int32)
                                if prefill_lengths is None else
                                prefill_lengths.astype(jnp.int32))
+                    k_new, v_new = kv_cache_update(
+                        kcache.value, vcache.value, k_st, v_st,
+                        write_offsets, block_table=bt,
+                        cache_batch_idx=None if paged else slot_ids,
+                        # padded rows must not write past their pages
+                        new_lengths=lengths if paged else None)
+                    kcache.value = k_new
+                    vcache.value = v_new
                     if slot_ids is None:
                         offset.value = lengths
                     else:

@@ -39,8 +39,8 @@ from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 from flash_attn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 
 __all__ = ["head_parallel_attention", "ring_attention",
-           "ring_attention_trainable", "stripe_sequence",
-           "unstripe_sequence"]
+           "ring_attention_trainable", "ring_attention_apply",
+           "stripe_sequence", "unstripe_sequence"]
 
 
 def stripe_sequence(x, num_devices: int, axis: int = 2):
@@ -187,27 +187,10 @@ def ring_attention(
     return jax.jit(wrapped)
 
 
-def ring_attention_trainable(
-    mesh: Mesh,
-    causal: bool = True,
-    softmax_scale: Optional[float] = None,
-    interpret: bool = False,
-    axis_name: str = SEQ_AXIS,
-    pre_striped: bool = False,
-):
-    """Differentiable ring attention (context-parallel training).
-
-    Forward as in ``ring_attention``; the backward rotates the KV shards
-    around the ring again, accumulating dK/dV alongside the traveling chunk
-    (so each device's dK/dV arrive home after P steps) while dQ accumulates
-    locally. Per-chunk gradients come from the standard bwd kernel with
-    the *global* lse — p = exp(s - lse_global) makes each chunk's
-    contribution exact. Each step runs ONE bwd kernel (causal or strict,
-    lax.cond-selected by stripe rank), so CP fwd+bwd FLOPs match the
-    single-device kernels'.
-    """
-    spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS, None)
-    n_seq = mesh.shape[axis_name]
+def _ring_trainable_local(causal, softmax_scale, interpret, axis_name):
+    """The per-device body of differentiable ring attention (shared by the
+    jitted ``ring_attention_trainable`` wrapper and the in-context
+    ``ring_attention_apply`` used from MHA inside an outer jit)."""
 
     def local(q, k, v):
         P_ = jax.lax.axis_size(axis_name)
@@ -287,6 +270,32 @@ def ring_attention_trainable(
         _ring.defvjp(_ring_fwd_res, _ring_bwd)
         return _ring(q, k, v, jnp.asarray(my, jnp.float32))
 
+    return local
+
+
+def ring_attention_trainable(
+    mesh: Mesh,
+    causal: bool = True,
+    softmax_scale: Optional[float] = None,
+    interpret: bool = False,
+    axis_name: str = SEQ_AXIS,
+    pre_striped: bool = False,
+):
+    """Differentiable ring attention (context-parallel training).
+
+    Forward as in ``ring_attention``; the backward rotates the KV shards
+    around the ring again, accumulating dK/dV alongside the traveling chunk
+    (so each device's dK/dV arrive home after P steps) while dQ accumulates
+    locally. Per-chunk gradients come from the standard bwd kernel with
+    the *global* lse — p = exp(s - lse_global) makes each chunk's
+    contribution exact. Each step runs ONE bwd kernel (causal or strict,
+    lax.cond-selected by stripe rank), so CP fwd+bwd FLOPs match the
+    single-device kernels'.
+    """
+    spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS, None)
+    n_seq = mesh.shape[axis_name]
+    local = _ring_trainable_local(causal, softmax_scale, interpret, axis_name)
+
     ring = jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
@@ -299,3 +308,39 @@ def ring_attention_trainable(
         return unstripe_sequence(ring(st(q), st(k), st(v)), n_seq)
 
     return jax.jit(wrapped)
+
+
+def ring_attention_apply(
+    q, k, v,  # (b, h, s_global, d) — logical global shapes inside a jit
+    causal: bool = True,
+    softmax_scale: Optional[float] = None,
+    interpret: bool = False,
+    axis_name: str = SEQ_AXIS,
+    pre_striped: bool = False,
+):
+    """Differentiable ring attention callable from INSIDE an existing jit
+    under ``jax.set_mesh`` (no mesh argument — the ambient mesh is used).
+
+    This is the form MHA uses for context-parallel training
+    (``MHA.context_parallel=True``): the surrounding train step is one jit
+    over the whole mesh; this shard_map constrains q/k/v to the
+    (data, model-heads, seq, ·) layout and runs the striped ring locally.
+    The reference has no in-repo CP (SURVEY §2.5) — external ring libs
+    compose its exported lse/combine primitives; here it is built in.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if axis_name not in am.shape or am.shape[axis_name] == 1:
+        # no seq axis on the mesh — plain local attention
+        o, _ = flash_attention_fwd(q, k, v, causal=causal,
+                                   softmax_scale=softmax_scale,
+                                   interpret=interpret)
+        return o
+    n_seq = am.shape[axis_name]
+    spec = P(DATA_AXIS, MODEL_AXIS, SEQ_AXIS, None)
+    local = _ring_trainable_local(causal, softmax_scale, interpret, axis_name)
+    ring = jax.shard_map(
+        local, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
+    if not causal or pre_striped:
+        return ring(q, k, v)
+    st = lambda x: stripe_sequence(x, n_seq)
+    return unstripe_sequence(ring(st(q), st(k), st(v)), n_seq)

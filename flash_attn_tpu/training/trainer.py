@@ -57,6 +57,12 @@ class TrainConfig:
     adam_b2: float = 0.95
     data_parallel: int = 1
     model_parallel: int = 1
+    # Context parallelism: shard the sequence over a mesh "seq" axis and run
+    # attention as a striped ppermute ring (parallel/attention.py). The model
+    # config's context_parallel flag is forced on when > 1. Enables training
+    # at seqlens whose activations exceed one device (SURVEY §2.5 CP row —
+    # the capability the reference exports primitives for but doesn't ship).
+    seq_parallel: int = 1
     # Gradient accumulation (the reference trains under Lightning's
     # accumulate_grad_batches, configs/trainer/all_params.yaml:18): the
     # per-step batch is split into this many micro-batches whose fp32
@@ -105,7 +111,14 @@ def model_flops_per_token(cfg: GPTConfig, seqlen: int) -> float:
 class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
-        self.mesh = make_mesh(data=cfg.data_parallel, model=cfg.model_parallel)
+        self.mesh = make_mesh(data=cfg.data_parallel,
+                              model=cfg.model_parallel,
+                              seq=cfg.seq_parallel)
+        if cfg.seq_parallel > 1 and not cfg.model.context_parallel:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               context_parallel=True))
+            self.cfg = cfg
         self.model = GPTLMHeadModel(cfg.model)
         self.step_count = 0
         self._build()
@@ -193,6 +206,18 @@ class Trainer:
             return cross_entropy_loss(logits, labs)
 
         def train_step(params, opt_state, input_ids, labels, ema, scaler):
+            if cfg.data_parallel > 1 or cfg.seq_parallel > 1:
+                # pin the token layout: batch over data, tokens over seq
+                # (CP); XLA shards everything downstream from this
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from flash_attn_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+                bspec = NamedSharding(self.mesh, P(
+                    DATA_AXIS if cfg.data_parallel > 1 else None,
+                    SEQ_AXIS if cfg.seq_parallel > 1 else None))
+                input_ids = jax.lax.with_sharding_constraint(
+                    input_ids, bspec)
+                labels = jax.lax.with_sharding_constraint(labels, bspec)
+
             def loss_fn(p, ids, labs):
                 loss = compute_loss(p, ids, labs)
                 if scaler is not None:
