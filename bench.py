@@ -200,15 +200,20 @@ def _gpt_913m(max_decode=0, kv_dtype=None, remat=False):
 def bench_train_mfu(peak):
     """End-to-end training throughput of the 913M GPT (bf16, seq 2k) —
     the reference's identity metric (README.md:527-530: 225 TFLOPs/s/A100
-    = 72% MFU on 80 GB parts without activation checkpointing; a 16 GB
-    v5e needs remat). One jitted train step on the production Trainer."""
+    = 72% MFU on 80 GB parts without activation checkpointing). One jitted
+    train step on the production Trainer.
+
+    Round 4: the fused chunked CE (no (b,s,vocab) fp32 logits) freed enough
+    HBM that the 913M model trains WITHOUT remat on the 16 GB chip — same
+    no-checkpointing convention as the reference's number. Sweep
+    (benchmarks/r4_mfu_sweep.py): remat-full b=6 60.7%, b=8 60.5%; dots
+    b=2 58.7% (b>=3 OOM); NO-remat b=2 63.5, b=3 64.8, b=4 68.3 (peak),
+    b=5 66.5, b=6 66.8."""
     from flash_attn_tpu.training.trainer import (
         TrainConfig, Trainer, model_flops_per_token)
 
-    # batch 6 measured best on the 16 GB chip (b=8 HBM-OOMs with fp32
-    # Adam state; b=4 57.8% MFU, b=6 59.3% — benchmarks/r3 notes)
-    batch, seqlen = 6, 2048
-    cfg = TrainConfig(model=_gpt_913m(remat=True), batch_size=batch,
+    batch, seqlen = 4, 2048
+    cfg = TrainConfig(model=_gpt_913m(remat=False), batch_size=batch,
                       seqlen=seqlen, zero1=False, log_every=10**9)
     tr = Trainer(cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (batch, seqlen), 0,
@@ -316,6 +321,71 @@ def bench_serving():
     return ttft_ms, 64.0 / dt, dt
 
 
+def bench_engine():
+    """Drive the continuous-batching InferenceEngine itself (admission,
+    paging, slot recycling, bucketed prefill, decode blocks) on the 913M
+    model with a closed-loop arrival trace — steady-state tokens/s and
+    TTFT p50/p99 INCLUDING admission (VERDICT r3 #5: the serving numbers
+    must come from the engine, not a hand-rolled model loop)."""
+    import numpy as np
+
+    from flash_attn_tpu.models.gpt import GPTLMHeadModel
+    from flash_attn_tpu.serving.engine import InferenceEngine, PagePool
+    from flash_attn_tpu.serving.generation import GenerationConfig
+
+    prompt_len, gen = 512, 32
+    B, page = 64, 256
+    pages_per_seq = -(-(prompt_len + gen + 8) // page)
+    cfg = _gpt_913m(max_decode=prompt_len + gen + 16)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, paged_kv_num_pages=B * pages_per_seq,
+                              paged_kv_page_size=page)
+    model = GPTLMHeadModel(cfg)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((2, 8), jnp.int32))["params"]
+    rng = np.random.default_rng(0)
+
+    def fresh_engine():
+        pool = PagePool(num_pages=B * pages_per_seq, page_size=page,
+                        max_pages_per_seq=pages_per_seq, max_batch=B)
+        return InferenceEngine(
+            model, params, max_batch=B, gen_cfg=GenerationConfig(top_k=1),
+            page_pool=pool, max_admit_tokens=8 * prompt_len,
+            decode_block_size=8)
+
+    def trace(eng, n_requests, timed):
+        submit_t, first_t = {}, {}
+        remaining = n_requests
+        t0 = time.perf_counter()
+        total_tokens = 0
+        while True:
+            if remaining > 0 and len(eng.queue) == 0:
+                for _ in range(min(8, remaining)):
+                    rid = eng.submit(
+                        rng.integers(0, cfg.vocab_size, size=prompt_len),
+                        max_new_tokens=gen)
+                    submit_t[rid] = time.perf_counter()
+                    remaining -= 1
+            if remaining == 0 and not eng.queue and all(
+                    s is None for s in eng.slots):
+                break
+            emitted = eng.step()
+            now = time.perf_counter()
+            total_tokens += len(emitted)
+            for rid, _tok in emitted:
+                first_t.setdefault(rid, now)
+        elapsed = time.perf_counter() - t0
+        ttfts = sorted((first_t[r] - submit_t[r]) for r in submit_t)
+        return (total_tokens / elapsed,
+                ttfts[len(ttfts) // 2] * 1e3,
+                ttfts[int(len(ttfts) * 0.99)] * 1e3)
+
+    # warmup pass compiles the (8, 512) bucketed prefill + the decode block
+    trace(fresh_engine(), 16, timed=False)
+    tok_s, ttft_p50, ttft_p99 = trace(fresh_engine(), 96, timed=True)
+    return tok_s, ttft_p50, ttft_p99
+
+
 def main():
     dbg = os.environ.get("FA_BENCH_DEBUG") == "1"
     t00 = time.perf_counter()
@@ -398,6 +468,15 @@ def main():
             note(f"serving done ttft={ttft_ms:.1f}ms dec={dec64_tps:.0f}t/s")
         except Exception as e:  # pragma: no cover
             result["serving_error"] = f"{type(e).__name__}"
+    if os.environ.get("FA_TPU_BENCH_ENGINE", "1") == "1":
+        try:
+            eng_tps, eng_p50, eng_p99 = bench_engine()
+            result["engine_tokens_per_s"] = round(eng_tps, 1)
+            result["engine_ttft_p50_ms"] = round(eng_p50, 1)
+            result["engine_ttft_p99_ms"] = round(eng_p99, 1)
+            note(f"engine done {eng_tps:.0f} tok/s p50={eng_p50:.0f}ms")
+        except Exception as e:  # pragma: no cover
+            result["engine_error"] = f"{type(e).__name__}"
     print(json.dumps(result))
 
 

@@ -35,6 +35,12 @@ def kv_cache_update(
     cache_seqlens,  # (b,) int32 append offsets (old lengths, incl leftpad)
     block_table=None,     # (b, max_pages)
     cache_batch_idx=None,  # (b,)
+    new_lengths=None,     # (b,) int32: only the first new_lengths[i] of the
+    # s_new tokens are real (padded batched prefill); the padding tail's
+    # writes are DROPPED in the paged path, so a slot never writes past its
+    # allocated pages into table entries it doesn't own (a row padded to the
+    # batch max would otherwise index table columns beyond its allocation —
+    # which default to page 0, i.e. another sequence's memory).
 ):
     """Write new K/V into the cache at per-batch offsets.
 
@@ -89,15 +95,27 @@ def kv_cache_update(
             return _rows(lambda i: (btab[i, offs[i] // page_size], 0,
                                     offs[i] % page_size, 0))
         pos = offs[:, None] + jnp.arange(s_new, dtype=jnp.int32)[None, :]
-        page = jnp.take_along_axis(btab, pos // page_size, axis=1)  # (b,s_new)
+        col = pos // page_size
+        if new_lengths is not None:
+            valid = (jnp.arange(s_new, dtype=jnp.int32)[None, :]
+                     < new_lengths.astype(jnp.int32)[:, None])
+            # out-of-range column -> take clamps, but the page index is
+            # poisoned below so the write drops
+            col = jnp.minimum(col, btab.shape[1] - 1)
+        page = jnp.take_along_axis(btab, col, axis=1)  # (b, s_new)
+        if new_lengths is not None:
+            page = jnp.where(valid, page, k_cache.shape[0])  # OOB -> dropped
         inpage = pos % page_size
         k_sc = jnp.swapaxes(k_src, 1, 2)  # (b, s_new, h_k, d) for scatter
         v_sc = jnp.swapaxes(v_src, 1, 2)
         # unique_indices skips XLA's scatter dedup machinery (every
-        # (page, inpage) target is distinct by construction); bounds stay
-        # checked — the capacity guard upstream handles misuse loudly.
-        k_cache = k_cache.at[page, :, inpage].set(k_sc, unique_indices=True)
-        v_cache = v_cache.at[page, :, inpage].set(v_sc, unique_indices=True)
+        # (page, inpage) target is distinct by construction — padding rows
+        # are dropped via the OOB page index, mode="drop"); bounds on real
+        # rows stay guarded by the capacity check upstream.
+        k_cache = k_cache.at[page, :, inpage].set(
+            k_sc, unique_indices=True, mode="drop")
+        v_cache = v_cache.at[page, :, inpage].set(
+            v_sc, unique_indices=True, mode="drop")
         return k_cache, v_cache
     bidx = (jnp.arange(b, dtype=jnp.int32) if cache_batch_idx is None
             else cache_batch_idx.astype(jnp.int32))

@@ -35,12 +35,22 @@ class Request:
 
 class PagePool:
     """Free-list page allocator for the paged KV cache (the vLLM-style
-    memory manager the reference leaves to external engines)."""
+    memory manager the reference leaves to external engines).
+
+    Page 0 is the NULL page (vLLM's null block) and is never allocated:
+    every block-table entry that doesn't own a real page points there, so
+    the writers that cannot be statically skipped — the decode step's
+    appends for INACTIVE slots (the jitted step is one fixed-batch program)
+    and any write past a slot's allocation — land in memory owned by
+    nobody. Without this, table zeros alias whichever sequence happens to
+    hold page 0 (a once-in-a-pool-lifetime corruption: the free list pops
+    from the end, so page 0 is the last page handed out — exactly the
+    fully-loaded case)."""
 
     def __init__(self, num_pages: int, page_size: int, max_pages_per_seq: int,
                  max_batch: int):
         self.page_size = page_size
-        self.free = list(range(num_pages))
+        self.free = list(range(1, num_pages))  # page 0 = null page
         self.table = np.zeros((max_batch, max_pages_per_seq), np.int32)
         self.pages_of: Dict[int, List[int]] = {}
 
@@ -61,13 +71,20 @@ class PagePool:
 
     def release(self, slot: int):
         self.free.extend(self.pages_of.pop(slot, []))
+        self.table[slot, :] = 0  # back to the null page
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
 
 
 class InferenceEngine:
     def __init__(self, model, params, max_batch: int, gen_cfg: GenerationConfig,
                  rng: Optional[jax.Array] = None,
                  page_pool: Optional[PagePool] = None,
-                 max_admit_tokens: Optional[int] = None):
+                 max_admit_tokens: Optional[int] = None,
+                 bucket_admission: bool = True,
+                 decode_block_size: int = 1):
         self.model = model
         self.params = params
         self.B = max_batch
@@ -79,6 +96,24 @@ class InferenceEngine:
         # (the chunked-prefill half of vLLM-style scheduling; leftover
         # requests are admitted on subsequent steps between decode steps).
         self.max_admit_tokens = max_admit_tokens
+        # Shape-bucketed admission (the reference buckets its CUDA decode
+        # graphs per batch size, utils/generation.py:618 — here the retrace
+        # unit is the jitted prefill, keyed on (rows, padded_len)): rows pad
+        # to the next power of two using still-free slots as zero-length
+        # dummies, prompt length pads to the next power of two. Distinct
+        # compiled prefill shapes are then <= log2(B) * log2(max_prompt),
+        # not one per novel (rows, length) pair. prefill_shapes records the
+        # shapes actually compiled (observability + the bound's test).
+        self.bucket_admission = bucket_admission
+        self.prefill_shapes: set = set()
+        # Decode in blocks of n steps per host round-trip (multi-step
+        # scheduling): one jitted lax.scan samples n tokens on device before
+        # the engine fetches them. On a dispatch/fetch-latency-bound link
+        # (~10-30 ms per fetch vs ~19 ms/step for the 913M model) this
+        # amortizes the sync; requests that finish mid-block waste their
+        # tail steps (bounded by n-1) and page release defers to the block
+        # edge — PagePool allocations add the n-1 margin below.
+        self.decode_block = max(1, decode_block_size)
 
         self.queue: deque = deque()
         self.requests: Dict[int, Request] = {}
@@ -101,6 +136,24 @@ class InferenceEngine:
         # materialize a full cache copy per step (measured: the copies, not
         # the math, dominated 1B-model decode).
         self._decode = jax.jit(_decode_step, donate_argnums=(1,))
+
+        def _decode_block_fn(params, cache, toks, rng, block_table):
+            kw = {} if block_table is None else {"block_table": block_table}
+
+            def body(carry, _):
+                cache, toks, rng = carry
+                logits, state = self.model.apply(
+                    {"params": params, "cache": cache}, toks[:, None],
+                    mode="decode", mutable=["cache"], **kw)
+                rng, key = jax.random.split(rng)
+                nxt = sample_token(logits[:, -1], key, self.cfg)
+                return (state["cache"], nxt, rng), nxt
+
+            (cache, _, rng), ys = jax.lax.scan(
+                body, (cache, toks, rng), None, length=self.decode_block)
+            return ys, cache, rng  # ys: (n, B)
+
+        self._decode_block_fn = jax.jit(_decode_block_fn, donate_argnums=(1,))
 
         def _prefill(params, cache, ids, slot_ids, lengths, rng, block_table):
             variables = {"params": params}
@@ -183,26 +236,47 @@ class InferenceEngine:
                 # only if the padded batch stays within the token budget.
                 max_len = max(len(req.prompt),
                               max(len(r.prompt) for _, r in admit))
+                if self.bucket_admission:
+                    max_len = _next_pow2(max(max_len, 16))
                 if (len(admit) + 1) * max_len > self.max_admit_tokens:
                     break  # admit the rest next step
             if self.pool is not None and not self.pool.alloc(
-                    slot, len(req.prompt) + req.max_new_tokens):
+                    slot, len(req.prompt) + req.max_new_tokens
+                    + self.decode_block - 1):
                 self.pool.release(slot)
                 break  # out of pages: wait for completions
             free.pop(0)
             self.queue.popleft()
             admit.append((slot, req))
         if admit:
+            rows = len(admit)
             max_len = max(len(r.prompt) for _, r in admit)
-            ids = np.zeros((len(admit), max_len), np.int32)
-            lengths = np.zeros((len(admit),), np.int32)
-            slot_ids = np.zeros((len(admit),), np.int32)
+            dummies: List[int] = []
+            if self.bucket_admission:
+                # bucket the jitted-prefill shape: rows -> next pow2 (padding
+                # rows are zero-length dummies on still-free slots — they
+                # write nothing: new_lengths masks the paged scatter and the
+                # slot's offset stays 0), length -> next pow2 (>=16)
+                want = _next_pow2(rows)
+                dummies = free[:want - rows]
+                pad_len = _next_pow2(max(max_len, 16))
+                # never pad past the model's rotary/cache allocation length
+                cap = getattr(getattr(self.model, "config", None),
+                              "max_decode_seqlen", 0)
+                if cap:
+                    pad_len = min(pad_len, max(cap, max_len))
+                max_len = pad_len
+            rows_p = rows + len(dummies)
+            ids = np.zeros((rows_p, max_len), np.int32)
+            lengths = np.zeros((rows_p,), np.int32)
+            slot_ids = np.asarray(
+                [s for s, _ in admit] + dummies, np.int32)
             for j, (slot, req) in enumerate(admit):
                 ids[j, :len(req.prompt)] = req.prompt
                 lengths[j] = len(req.prompt)
-                slot_ids[j] = slot
                 self.slots[slot] = req
                 self.slot_new[slot] = 0
+            self.prefill_shapes.add((rows_p, max_len))
             nxt, self.cache, self.rng = self._prefill(
                 self.params, self.cache, jnp.asarray(ids),
                 jnp.asarray(slot_ids), jnp.asarray(lengths), self.rng,
@@ -216,30 +290,49 @@ class InferenceEngine:
                 emitted.append((req.req_id, tok))
                 self._maybe_finish(slot, tok)
 
-        # ---- decode step over all slots ----
+        # ---- decode step(s) over all slots ----
         if any(r is not None for r in self.slots):
-            toks = jnp.asarray(self.slot_tok[:, None])
-            nxt, self.cache, self.rng = self._decode(
-                self.params, self.cache, toks, self.rng, self._table())
-            nxt = np.asarray(nxt)
-            for slot, req in enumerate(self.slots):
-                if req is None:
-                    continue
-                tok = int(nxt[slot])
-                req.generated.append(tok)
-                self.slot_tok[slot] = tok
-                self.slot_new[slot] += 1
-                emitted.append((req.req_id, tok))
-                self._maybe_finish(slot, tok)
+            if self.decode_block == 1:
+                toks = jnp.asarray(self.slot_tok[:, None])
+                nxt, self.cache, self.rng = self._decode(
+                    self.params, self.cache, toks, self.rng, self._table())
+                ys = np.asarray(nxt)[None]  # (1, B)
+            else:
+                toks = jnp.asarray(self.slot_tok)
+                ys, self.cache, self.rng = self._decode_block_fn(
+                    self.params, self.cache, toks, self.rng, self._table())
+                ys = np.asarray(ys)  # (n, B)
+            # Mid-block completions: tail tokens for a finished slot are
+            # discarded; page release defers to the block edge (the device
+            # kept appending into the slot's own pages — the admission
+            # allocation reserves the n-1 margin).
+            finished: List[int] = []
+            for t in range(ys.shape[0]):
+                for slot, req in enumerate(self.slots):
+                    if req is None or slot in finished:
+                        continue
+                    tok = int(ys[t, slot])
+                    req.generated.append(tok)
+                    self.slot_tok[slot] = tok
+                    self.slot_new[slot] += 1
+                    emitted.append((req.req_id, tok))
+                    self._maybe_finish(slot, tok, defer=finished)
+            for slot in finished:
+                self.slots[slot] = None
+                if self.pool is not None:
+                    self.pool.release(slot)
             self._set_inactive_offsets_zero()
         return emitted
 
-    def _maybe_finish(self, slot: int, tok: int):
+    def _maybe_finish(self, slot: int, tok: int, defer=None):
         req = self.slots[slot]
         eos = self.cfg.eos_token_id
         if (eos is not None and tok == eos) or (
                 self.slot_new[slot] >= req.max_new_tokens):
             req.done = True
+            if defer is not None:
+                defer.append(slot)
+                return
             self.slots[slot] = None
             if self.pool is not None:
                 self.pool.release(slot)
