@@ -443,7 +443,8 @@ def flash_attn_varlen_func(
             softmax_scale=softmax_scale, causal=causal,
             window_size=window_size, softcap=softcap,
             q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
-            return_attn_probs=return_attn_probs,
+            return_attn_probs=return_attn_probs, qv=qv,
+            learnable_sink=learnable_sink,
         )
     dropout_seed = None
     if dropout_p > 0.0:
@@ -489,9 +490,14 @@ def flash_attn_varlen_func(
 def _varlen_paged_fwd(q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q,
                       block_table, seqlens_k, *, softmax_scale, causal,
                       window_size, softcap, q_descale, k_descale, v_descale,
-                      return_attn_probs):
+                      return_attn_probs, qv=None, learnable_sink=None):
     """Packed-varlen front end over the dense paged-prefill kernel:
-    pack -> pad per sequence -> kernel -> unpack."""
+    pack -> pad per sequence -> kernel -> unpack.
+
+    ``qv`` is the MLA extra query (absorbed DeepSeek chunked prefill against
+    a paged cache — reference cute/interface.py:3419-3478, exercised at
+    tests/cute/test_flash_attn.py:2410); ``learnable_sink`` the per-head
+    sink logits."""
     from flash_attn_tpu.kernels.flash_paged_prefill import (
         flash_attention_paged_prefill,
     )
@@ -506,10 +512,15 @@ def _varlen_paged_fwd(q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q,
     pos = jnp.arange(sq_max, dtype=jnp.int32)[None, :]
     gather_idx = jnp.clip(cu_seqlens_q[:-1, None] + pos, 0, total_q - 1)
     q_dense = q[gather_idx.reshape(-1)].reshape(b, sq_max, h, d)
+    qv_dense = None
+    if qv is not None:
+        qv_dense = qv[gather_idx.reshape(-1)].reshape(
+            b, sq_max, h, qv.shape[-1])
 
     out_dense, lse_dense = flash_attention_paged_prefill(
         q_dense, k_cache, v_cache, seqused_q,
         jnp.asarray(seqlens_k, jnp.int32), block_table,
+        qv=qv_dense, learnable_sink=learnable_sink,
         q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
         softmax_scale=softmax_scale, causal=causal,
         window_size=normalize_window(tuple(window_size)), softcap=softcap,

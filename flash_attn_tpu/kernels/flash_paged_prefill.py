@@ -66,12 +66,20 @@ def _paged_prefill_kernel(
     block_q, block_k, h_k, group, num_pages, max_tiles,
     scale_log2, softcap, causal, window_left, window_right,
     has_descale, out_dtype, pages_per_tile, table_width,
+    has_qv, has_sink,
 ):
     refs = list(refs)
     # (2, 1, h_k, 128) VMEM: [0]=q_descale*k_descale, [1]=v_descale,
     # lane-replicated for the batched-head path.
     descale_ref = refs.pop(0) if has_descale else None
-    (q_ref, kc_ref, vc_ref, out_ref, lse_ref,
+    # (1, h_k, group, 128) f32 learnable-sink logits, lane-replicated
+    sink_ref = refs.pop(0) if has_sink else None
+    q_ref = refs.pop(0)
+    # (1, h_k, group, block_q, dv) MLA qv extra query (absorbed DeepSeek
+    # paged prefill — reference cute/interface.py:3419-3478: score adds
+    # qv . v^T on top of q . k^T)
+    qv_ref = refs.pop(0) if has_qv else None
+    (kc_ref, vc_ref, out_ref, lse_ref,
      kbuf, vbuf, sems, acc, m_s, l_s) = refs
 
     b_idx = pl.program_id(0)
@@ -129,6 +137,9 @@ def _paged_prefill_kernel(
     # GQA-packed queries for ALL kv heads: (h_k, group*block_q, d).
     q = q_ref[0].reshape(h_k, rows, -1)
     qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
+    if has_qv:
+        qv = qv_ref[0].reshape(h_k, rows, -1)
+        qvs = (qv.astype(jnp.float32) * scale_log2).astype(qv.dtype)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
     pos_q = i * block_q + rows_i % block_q  # local q position (chunk-relative)
@@ -154,10 +165,18 @@ def _paged_prefill_kernel(
             qs, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        if has_qv:
+            s2qv = jax.lax.dot_general(
+                qvs, v, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if has_descale and softcap <= 0.0:
+                s2qv = s2qv * vd
+            s2 = (s2 * qkd if has_descale and softcap <= 0.0 else s2) + s2qv
         if softcap > 0.0:
             tt = jnp.tanh(s2 * (1.0 / LOG2E) / softcap)
             s2 = tt * softcap * LOG2E
-        elif has_descale:
+        elif has_descale and not has_qv:
             s2 = s2 * qkd
 
         valid = jnp.logical_and(pos_q < sq, cols < sk)
@@ -209,12 +228,25 @@ def _paged_prefill_kernel(
 
     m = m_s[:, :, :1]  # (h_k, rows, 1)
     l = l_s[:, :, :1]
-    lse = m * LN2 + jnp.log(l)
+    if has_sink:
+        # learnable attention sink (dense-kernel epilogue semantics,
+        # flash_fwd.py _epilogue): an extra phantom logit per head in
+        # natural-log domain; fully-masked rows get out=0, lse=sink
+        sinkr = jnp.broadcast_to(
+            sink_ref[0][:, :, :1], (h_k, group, block_q)
+        ).reshape(h_k, rows, 1)
+        m_nat = m * LN2
+        m_tot = jnp.maximum(m_nat, sinkr)
+        l = l * jnp.exp(m_nat - m_tot) + jnp.exp(sinkr - m_tot)
+        o = acc[...] * jnp.exp(m_nat - m_tot)
+        lse = m_tot + jnp.log(l)
+    else:
+        o = acc[...]
+        lse = m * LN2 + jnp.log(l)
     inv_l = jnp.where(l == 0.0, 0.0, 1.0 / l)
     if has_descale:
         inv_l = inv_l * vd
-    out_ref[0] = (acc[...] * inv_l).reshape(out_ref.shape[1:]).astype(
-        out_dtype)
+    out_ref[0] = (o * inv_l).reshape(out_ref.shape[1:]).astype(out_dtype)
     lse_ref[0] = lse.reshape(lse_ref.shape[1:])
 
 
@@ -232,6 +264,9 @@ def flash_attention_paged_prefill(
     seqused_q,    # (b,) valid q tokens per sequence
     cache_seqlens,  # (b,) total kv length per sequence (incl. the chunk)
     block_table,  # (b, max_pages) int32
+    qv=None,      # (b, sq_max, h, dv) MLA extra query (DeepSeek absorbed
+    # paged prefill — reference cute/interface.py:3419-3478)
+    learnable_sink=None,  # (h,) f32 sink logits
     q_descale=None,  # (b, h_k) f32 — FP8 descale (hopper/flash.h:54-62)
     k_descale=None,
     v_descale=None,
@@ -256,7 +291,7 @@ def flash_attention_paged_prefill(
     group = h // h_k
     max_tiles = block_table.shape[1]
     if softmax_scale is None:
-        softmax_scale = 1.0 / math.sqrt(d)
+        softmax_scale = 1.0 / math.sqrt(d if qv is None else d + dv)
     window_left, window_right = normalize_window(window_size)
 
     # Manual HBM->VMEM page DMA requires 128-lane-aligned head dims (same
@@ -269,8 +304,11 @@ def flash_attention_paged_prefill(
         d = d_pad
     if dv_pad != dv:
         v_cache = jnp.pad(v_cache, ((0, 0),) * 3 + ((0, dv_pad - dv),))
+        if qv is not None:
+            qv = jnp.pad(qv, ((0, 0),) * 3 + ((0, dv_pad - dv),))
         out, lse = flash_attention_paged_prefill(
             q, k_cache, v_cache, seqused_q, cache_seqlens, block_table,
+            qv=qv, learnable_sink=learnable_sink,
             q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
             softmax_scale=softmax_scale, causal=causal,
             window_size=window_size, softcap=softcap, block_q=block_q,
@@ -290,9 +328,10 @@ def flash_attention_paged_prefill(
                            else x.reshape((nc, chunk) + x.shape[1:]))
 
         def piece(args):
-            qc, squ, slc, btc, qd, kd, vd_ = args
+            qc, qvc, squ, slc, btc, qd, kd, vd_ = args
             return flash_attention_paged_prefill(
                 qc, k_cache, v_cache, squ, slc, btc,
+                qv=qvc, learnable_sink=learnable_sink,
                 q_descale=qd, k_descale=kd, v_descale=vd_,
                 softmax_scale=softmax_scale,
                 causal=causal, window_size=window_size, softcap=softcap,
@@ -300,7 +339,8 @@ def flash_attention_paged_prefill(
             )
 
         outs, lses = jax.lax.map(
-            piece, (split(q), split(seqused_q), split(cache_seqlens),
+            piece, (split(q), split(qv), split(seqused_q),
+                    split(cache_seqlens),
                     split(block_table), split(q_descale), split(k_descale),
                     split(v_descale)))
         return (outs.reshape((b,) + outs.shape[2:]),
@@ -312,6 +352,8 @@ def flash_attention_paged_prefill(
     sq_pad = nq * bq
     if sq_pad != sq_max:
         q = jnp.pad(q, ((0, 0), (0, sq_pad - sq_max), (0, 0), (0, 0)))
+        if qv is not None:
+            qv = jnp.pad(qv, ((0, 0), (0, sq_pad - sq_max), (0, 0), (0, 0)))
     # Tile spans pages_per_tile pages (concurrent unrolled DMAs in the
     # kernel); target ~512 rows like the decode kernel.
     table_width = max_tiles
@@ -341,16 +383,31 @@ def flash_attention_paged_prefill(
         in_specs.append(pl.BlockSpec(
             (2, 1, h_k, 128), lambda b_, i, *_: (0, b_, 0, 0)))
         inputs.append(descale)
+    if learnable_sink is not None:
+        sink_in = jnp.broadcast_to(
+            jnp.asarray(learnable_sink, jnp.float32).reshape(
+                1, h_k, group, 1), (1, h_k, group, 128))
+        in_specs.append(pl.BlockSpec(
+            (1, h_k, group, 128), lambda b_, i, *_: (0, 0, 0, 0)))
+        inputs.append(sink_in)
     in_specs += [
         pl.BlockSpec((1, h_k, group, bq, d),
                      lambda b_, i, *_: (b_, 0, 0, i, 0)),
+    ]
+    inputs += [q_r]
+    if qv is not None:
+        qv_r = qv.reshape(b, sq_pad, h_k, group, dv).transpose(0, 2, 3, 1, 4)
+        in_specs.append(pl.BlockSpec(
+            (1, h_k, group, bq, dv), lambda b_, i, *_: (b_, 0, 0, i, 0)))
+        inputs.append(qv_r)
+    in_specs += [
         # Pin the paged caches to HBM: under ANY the compiler may promote a
         # small cache to VMEM, where head_dim<128 pages are not sliceable
         # (lane padding); HBM-side DMA has no such constraint.
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
     ]
-    inputs += [q_r, k_cache, v_cache]
+    inputs += [k_cache, v_cache]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -380,6 +437,7 @@ def flash_attention_paged_prefill(
         softcap=softcap, causal=causal, window_left=window_left,
         window_right=window_right, has_descale=has_descale,
         out_dtype=out_dtype, pages_per_tile=ppt, table_width=table_width,
+        has_qv=qv is not None, has_sink=learnable_sink is not None,
     )
 
     out_r, lse_r = pl.pallas_call(

@@ -245,3 +245,93 @@ def test_paged_prefill_small_pages(page_size):
             np.asarray(out[i, :n], np.float32),
             np.asarray(ref[0], np.float32), atol=3e-2, rtol=3e-2,
             err_msg=f"page={page_size} seq {i}")
+
+
+def test_varlen_paged_prefill_qv_mla():
+    """Absorbed-MLA chunked prefill against a paged cache: qv rides the
+    paged varlen path (reference paged DeepSeek, cute/interface.py:3419-3478,
+    tests/cute/test_flash_attn.py:2410). MQA, head_dim != head_dim_v."""
+    rng = np.random.RandomState(11)
+    b, h, h_k = 2, 4, 1
+    d, dv = 192, 128           # MLA: qk dim > v dim
+    page_size = 128
+    sk_lens = np.array([384, 250])
+    sq_lens = np.array([128, 96])
+    ppseq = 3
+    table = rng.permutation(b * ppseq).reshape(b, ppseq).astype(np.int32)
+    key = jax.random.PRNGKey(21)
+    kq, kk, kv_, kqv = jax.random.split(key, 4)
+    k_full = jax.random.normal(kk, (b, page_size * ppseq, h_k, d),
+                               jnp.float32).astype(jnp.bfloat16)
+    v_full = jax.random.normal(kv_, (b, page_size * ppseq, h_k, dv),
+                               jnp.float32).astype(jnp.bfloat16)
+    kp = _scatter_pages(k_full.astype(jnp.float32), sk_lens, page_size,
+                        table).astype(jnp.bfloat16)
+    vp = _scatter_pages(v_full.astype(jnp.float32), sk_lens, page_size,
+                        table).astype(jnp.bfloat16)
+    total_q = int(sq_lens.sum())
+    q_packed = jax.random.normal(kq, (total_q, h, d),
+                                 jnp.float32).astype(jnp.bfloat16)
+    qv_packed = jax.random.normal(kqv, (total_q, h, dv),
+                                  jnp.float32).astype(jnp.bfloat16)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(sq_lens)]), jnp.int32)
+
+    out = flash_attn_varlen_func(
+        q_packed, kp, vp, cu_q, None, int(sq_lens.max()), int(sk_lens.max()),
+        causal=True, qv=qv_packed, block_table=jnp.asarray(table),
+        seqused_k=jnp.asarray(sk_lens, jnp.int32),
+    )
+    assert out.shape == (total_q, h, dv)
+    for s in range(b):
+        sq, sk = int(sq_lens[s]), int(sk_lens[s])
+        lo = int(cu_q[s])
+        ref = flash_attn_func(q_packed[lo:lo + sq][None],
+                              k_full[s:s + 1, :sk], v_full[s:s + 1, :sk],
+                              causal=True, qv=qv_packed[lo:lo + sq][None])
+        got = out[lo:lo + sq][None]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2)
+
+
+def test_varlen_paged_prefill_learnable_sink():
+    """Learnable sink through the paged varlen path (dense-kernel epilogue
+    semantics: phantom per-head logit)."""
+    rng = np.random.RandomState(13)
+    b, h, h_k, d = 2, 4, 2, 64
+    page_size = 128
+    sk_lens = np.array([300, 256])
+    sq_lens = np.array([100, 256])
+    ppseq = 3
+    table = rng.permutation(b * ppseq).reshape(b, ppseq).astype(np.int32)
+    key = jax.random.PRNGKey(23)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    k_full = jax.random.normal(kk, (b, page_size * ppseq, h_k, d),
+                               jnp.float32).astype(jnp.bfloat16)
+    v_full = jax.random.normal(kv_, (b, page_size * ppseq, h_k, d),
+                               jnp.float32).astype(jnp.bfloat16)
+    kp = _scatter_pages(k_full.astype(jnp.float32), sk_lens, page_size,
+                        table).astype(jnp.bfloat16)
+    vp = _scatter_pages(v_full.astype(jnp.float32), sk_lens, page_size,
+                        table).astype(jnp.bfloat16)
+    total_q = int(sq_lens.sum())
+    q_packed = jax.random.normal(kq, (total_q, h, d),
+                                 jnp.float32).astype(jnp.bfloat16)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(sq_lens)]), jnp.int32)
+    sink = jnp.asarray([0.5, -1.0, 2.0, 0.0], jnp.float32)
+
+    out = flash_attn_varlen_func(
+        q_packed, kp, vp, cu_q, None, int(sq_lens.max()), int(sk_lens.max()),
+        causal=True, learnable_sink=sink, block_table=jnp.asarray(table),
+        seqused_k=jnp.asarray(sk_lens, jnp.int32),
+    )
+    for s in range(b):
+        sq, sk = int(sq_lens[s]), int(sk_lens[s])
+        lo = int(cu_q[s])
+        ref = flash_attn_func(q_packed[lo:lo + sq][None],
+                              k_full[s:s + 1, :sk], v_full[s:s + 1, :sk],
+                              causal=True, learnable_sink=sink)
+        got = out[lo:lo + sq][None]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2)
