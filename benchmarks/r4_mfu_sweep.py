@@ -41,8 +41,10 @@ def main():
         max_decode_seqlen=0,
         remat=(remat != "none"), remat_policy=remat if remat != "none" else "full",
         dtype=jnp.bfloat16)
+    accum = int(os.environ.get("ACCUM", "1"))
     cfg = TrainConfig(model=mcfg, batch_size=batch, seqlen=seqlen,
-                      zero1=False, log_every=10**9, fused_ce=fused_ce)
+                      zero1=False, log_every=10**9, fused_ce=fused_ce,
+                      accumulate_steps=accum)
     tr = Trainer(cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (batch, seqlen), 0,
                              mcfg.vocab_size)
