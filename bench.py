@@ -58,7 +58,12 @@ def bench_fn(fn, *args, iters=20, warmup=3, repeats=2):
     end. (On the axon remote platform block_until_ready does not block, and
     any *new* fetch computation triggers a slow remote compile, so both the
     fn and the scalar-reduce fetch are pre-compiled in warmup.) Best of
-    `repeats` runs: the shared-tunnel chip jitters ~5%."""
+    `repeats` runs: the shared-tunnel chip jitters ~5%.
+
+    NOTE: the final fetch costs a ~40 ms tunnel roundtrip amortized over
+    `iters` — at iters=20 that deflates a 6 ms kernel by ~25%. Kernel
+    metrics use bench_device_loop below; this stays for coarse/e2e paths.
+    """
     r = None
     for _ in range(warmup):
         r = fn(*args)
@@ -73,6 +78,46 @@ def bench_fn(fn, *args, iters=20, warmup=3, repeats=2):
     return best
 
 
+def bench_device_loop(fn, *args, perturb=0, N=50, repeats=2):
+    """Time fn with N back-to-back iterations inside ONE jitted fori_loop,
+    with a data dependence (iteration i's perturbed input depends on
+    i-1's outputs) so XLA cannot hoist or elide the body. Host dispatch
+    and the ~40 ms axon fetch roundtrip are excluded entirely — the round-4
+    harness correction (DESIGN.md): the queued-dispatch timing above
+    amortized the fetch over only 20 iters, deflating every kernel metric
+    by ~1.9 ms/iter. One elementwise rewrite of args[perturb] per iter
+    (~0.1 ms at headline shapes) is included — a small conservative bias.
+    All fn outputs feed the dependence chain, so every gradient stays live
+    (the round-3 DCE rule)."""
+    pert_dtype = args[perturb].dtype
+
+    def loop(*a):
+        def body(i, carry):
+            acc, x = carry
+            aa = list(a)
+            aa[perturb] = x
+            r = fn(*aa)
+            outs = r if isinstance(r, (tuple, list)) else (r,)
+            leaf = jnp.float32(0)
+            for o in outs:
+                leaf = leaf + o[(0,) * o.ndim].astype(jnp.float32)
+            x = (x.astype(jnp.float32) * (1.0 + 1e-12 * leaf)).astype(
+                pert_dtype)
+            return acc + leaf, x
+
+        acc, _ = jax.lax.fori_loop(0, N, body, (jnp.float32(0), a[perturb]))
+        return acc
+
+    g = jax.jit(loop)
+    float(g(*args))  # compile + settle
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(g(*args))
+        best = min(best, (time.perf_counter() - t0) / N)
+    return best
+
+
 def bench_fwd(peak):
     from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 
@@ -83,11 +128,10 @@ def bench_fwd(peak):
     k = jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
     v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
 
-    fn = jax.jit(lambda q, k, v: flash_attention_fwd(
-        q, k, v, causal=False, return_lse=True)[0])
-    # the headline north-star metric gets best-of-3 (chip jitter spans
-    # ~136-139 TF/s around the 137.9 (0.70 * 197) threshold)
-    t = bench_fn(fn, q, k, v, repeats=3)
+    fn = lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=False, return_lse=True)[0]
+    # the headline north-star metric gets best-of-3 (chip jitter ~5%)
+    t = bench_device_loop(fn, q, k, v, N=30, repeats=3)
     flops = 4.0 * b * h * s * s * d
     return flops / t / 1e12, t
 
@@ -100,9 +144,9 @@ def bench_fwd_causal(peak):
     q = jax.random.normal(kq, (b, h, s, d), jnp.bfloat16)
     k = jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
     v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
-    fn = jax.jit(lambda q, k, v: flash_attention_fwd(
-        q, k, v, causal=True, return_lse=True)[0])
-    t = bench_fn(fn, q, k, v)
+    fn = lambda q, k, v: flash_attention_fwd(
+        q, k, v, causal=True, return_lse=True)[0]
+    t = bench_device_loop(fn, q, k, v, N=30)
     flops = 4.0 * b * h * s * s * d / 2
     return flops / t / 1e12, t
 
@@ -138,11 +182,67 @@ def bench_bwd(peak, s=4096, b=4):
             softmax_scale=1.0 / math.sqrt(d))
         return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
 
-    pb = jax.jit(bwd_only)
-    t = bench_fn(lambda g_: pb(g_, q, k, v, out, lse)[0], do)
+    t = bench_device_loop(bwd_only, do, q, k, v, out, lse, N=40)
     # reference convention: bwd flops = 2.5x fwd (hopper/benchmark_attn.py)
     flops = 2.5 * 4.0 * b * h * s * s * d / 2
     return flops / t / 1e12, t
+
+
+def _varlen_setup(lengths, h=16, d=128, seed=0):
+    import numpy as np
+
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lengths)]), jnp.int32)
+    total = int(cu[-1])
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (total, h, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (total, h, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (total, h, d), jnp.bfloat16)
+    return q, k, v, cu, total
+
+
+def bench_varlen(peak):
+    """Varlen on the scoreboard (VERDICT r3 #3): packed ragged-batch
+    attention at (a) constant lengths — equal total tokens as the dense
+    headline shape, so the ratio is the varlen kernel's flat-tiling tax —
+    and (b) the reference's 'uniform' mixed-length distribution
+    (benchmarks/benchmark_varlen_sched.py _make_seqlens: uniform in
+    [max/2, max]), causal, fwd and bwd-only (2.5x convention)."""
+    from flash_attn_tpu import flash_attn_varlen_func
+    from flash_attn_tpu.kernels.flash_varlen import (
+        flash_attention_varlen_bwd, flash_attention_varlen_fwd)
+
+    h, d = 16, 128
+    # (a) constant 4 x 8192, non-causal (dense headline comparison)
+    lengths = [8192] * 4
+    q, k, v, cu, total = _varlen_setup(lengths)
+    fn = lambda q, k, v, cu: flash_attn_varlen_func(
+        q, k, v, cu, cu, 8192, 8192, causal=False)
+    t = bench_device_loop(fn, q, k, v, cu, N=30)
+    const_tf = sum(4.0 * h * d * L * L for L in lengths) / t / 1e12
+
+    # (b) mixed 16 seqs uniform [2048, 4096], causal
+    import numpy as np
+    rng = np.random.default_rng(0)
+    lengths = [int(x) for x in rng.integers(2048, 4097, size=16)]
+    q, k, v, cu, total = _varlen_setup(lengths)
+    max_len = max(lengths)
+    fn = lambda q, k, v, cu: flash_attn_varlen_func(
+        q, k, v, cu, cu, max_len, max_len, causal=True)
+    t = bench_device_loop(fn, q, k, v, cu, N=30)
+    useful = sum(4.0 * h * d * L * L / 2 for L in lengths)
+    mixed_tf = useful / t / 1e12
+
+    # bwd-only at the mixed shape (precomputed residuals, 2.5x convention)
+    out, lse = jax.jit(
+        lambda q, k, v, cu: flash_attention_varlen_fwd(
+            q, k, v, cu, cu, max_len, max_len, causal=True))(q, k, v, cu)
+    do = jnp.ones_like(out)
+
+    bwd = lambda do, q, k, v, out, lse, cu: flash_attention_varlen_bwd(
+        do, q, k, v, out, lse, cu, cu, max_len, max_len, causal=True)
+    t = bench_device_loop(bwd, do, q, k, v, out, lse, cu, N=30)
+    mixed_bwd_tf = 2.5 * useful / t / 1e12
+    return const_tf, mixed_tf, mixed_bwd_tf
 
 
 def bench_decode_fp8_paged(dtype=None):
@@ -433,6 +533,16 @@ def main():
         note(f"bwd seq8k done {bwd8_tf:.1f}")
     except Exception as e:  # pragma: no cover
         result["bwd_seq8k_error"] = f"{type(e).__name__}"
+    if os.environ.get("FA_TPU_BENCH_VARLEN", "1") == "1":
+        try:
+            vl_const, vl_mixed, vl_bwd = bench_varlen(peak)
+            result["varlen_fwd_tflops"] = round(vl_const, 2)
+            result["varlen_vs_dense"] = round(vl_const / fwd_tf, 4)
+            result["varlen_mixed_fwd_tflops"] = round(vl_mixed, 2)
+            result["varlen_mixed_bwd_tflops"] = round(vl_bwd, 2)
+            note(f"varlen done {vl_const:.1f}/{vl_mixed:.1f}/{vl_bwd:.1f}")
+        except Exception as e:  # pragma: no cover
+            result["varlen_error"] = f"{type(e).__name__}"
     if os.environ.get("FA_TPU_BENCH_DECODE", "1") == "1":
         try:
             dec_tps, dec_t = bench_decode_fp8_paged()

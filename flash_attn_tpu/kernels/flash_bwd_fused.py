@@ -68,7 +68,8 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
                       attention_chunk, sink_token_length, has_alibi,
                       dropout_p, num_heads, score_mod, mask_mod,
                       dq_dtype, dk_dtype, dv_dtype, num_aux, num_batch,
-                      num_kv_heads, bshd, bmask: Optional[BandMaskCfg] = None):
+                      num_kv_heads, bshd, hf=1, head_dim=None,
+                      head_dim_v=None, bmask: Optional[BandMaskCfg] = None):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
     slopes_ref = refs.pop(0) if has_alibi else None
@@ -87,10 +88,10 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         (dq_acc, dk_all, dv_all, copy_sems) = rest[num_aux:]
 
     b_idx = pl.program_id(0)
-    hk_idx = pl.program_id(1)
+    hk_idx = pl.program_id(1)   # kv-head BLOCK index when hf > 1
     g = pl.program_id(2)
     t = pl.program_id(3)
-    h_idx = hk_idx * group + g
+    h_idx = hk_idx * group + g  # hf > 1 implies group == 1 (see wrapper)
     shift = seqlen_k - seqlen_q
 
     i, n, t_first, t_last = band.decode(t)
@@ -126,30 +127,27 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
     # ~15% of whole-grad time). For small head dims the wrapper falls back
     # to bhsd blocks (1, 1, blk, d) with boundary transposes.
     if bshd:
-        q = q_ref[0]        # (bq, d)
-        do = do_ref[0]      # (bq, dv)
-        k = k_ref[0]        # (bk, d)
-        v = v_ref[0]        # (bk, dv)
+        q_all = q_ref[0]        # (bq, hf*d)
+        do_all = do_ref[0]      # (bq, hf*dv)
+        k_all = k_ref[0]        # (bk, hf*d)
+        v_all = v_ref[0]        # (bk, hf*dv)
     else:
-        q = q_ref[0, 0]
-        do = do_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-    lse2 = lse_ref[0, 0, 0].reshape(block_q, 1) * LOG2E
-    delta = delta_ref[0, 0, 0].reshape(block_q, 1)
-    slope = slopes_ref[b_idx, h_idx] if has_alibi else None
+        q_all = q_ref[0, 0]
+        do_all = do_ref[0, 0]
+        k_all = k_ref[0, 0]
+        v_all = v_ref[0, 0]
 
     row_pad = seqlen_q % block_q != 0
     if row_pad:
         # Boundary q blocks are padded with garbage; zero the rows so they
         # cannot leak into dK/dV (0 * garbage = NaN).
         rv = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + i * block_q
-        q = jnp.where(rv < seqlen_q, q, 0)
-        do = jnp.where(rv < seqlen_q, do, 0)
+        q_all = jnp.where(rv < seqlen_q, q_all, 0)
+        do_all = jnp.where(rv < seqlen_q, do_all, 0)
     if seqlen_k % block_k != 0:
         cv = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + n * block_k
-        k = jnp.where(cv < seqlen_k, k, 0)
-        v = jnp.where(cv < seqlen_k, v, 0)
+        k_all = jnp.where(cv < seqlen_k, k_all, 0)
+        v_all = jnp.where(cv < seqlen_k, v_all, 0)
 
     if bmask is not None:
         # One-pass additive band mask (dispatch/bandmask.py): slice of the
@@ -159,7 +157,25 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
     else:
         mask_bias = None
 
-    def tile_body(masked):
+    d_h = head_dim if head_dim is not None else q_all.shape[-1]
+    dv_h = head_dim_v if head_dim_v is not None else do_all.shape[-1]
+
+    def head_body(hh, masked):
+        """One head's 5-matmul tile update. With head folding (hf > 1,
+        bshd, group == 1) the loaded blocks span hf heads on the lane axis;
+        static 128-aligned slices select head hh."""
+        if hf > 1:
+            q = q_all[:, hh * d_h:(hh + 1) * d_h]
+            do = do_all[:, hh * dv_h:(hh + 1) * dv_h]
+            k = k_all[:, hh * d_h:(hh + 1) * d_h]
+            v = v_all[:, hh * dv_h:(hh + 1) * dv_h]
+        else:
+            q, do, k, v = q_all, do_all, k_all, v_all
+        h_cur = h_idx * hf + hh if hf > 1 else h_idx
+        lse2 = lse_ref[0, hh, 0].reshape(block_q, 1) * LOG2E
+        delta = delta_ref[0, hh, 0].reshape(block_q, 1)
+        slope = slopes_ref[b_idx, h_cur] if has_alibi else None
+
         s2, ds_chain = _scores_log2(
             q, k, i, n, block_q, block_k, scale=scale, softcap=softcap,
             causal=causal, window_left=window_left,
@@ -167,7 +183,7 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
             sink_token_length=sink_token_length,
             seqlen_k=seqlen_k, shift=shift, slope=slope,
             score_mod=score_mod, mask_mod=mask_mod, b_idx=b_idx,
-            h_idx=h_idx, aux=aux, masked=masked, mask_bias=mask_bias,
+            h_idx=h_cur, aux=aux, masked=masked, mask_bias=mask_bias,
         )
         lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
         p = jnp.exp2(s2 - lse2_safe)          # (bq, bk); masked -> 0
@@ -183,7 +199,7 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
                 jnp.int32, (block_q, block_k), 0)
             dcols = n * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_idx,
+            keep = dropout_keep(seed_ref[0, 0], b_idx * num_heads + h_cur,
                                 drows, dcols, dropout_p)
             inv_keep = 1.0 / (1.0 - dropout_p)
             p_v = jnp.where(keep, p, 0.0) * inv_keep
@@ -206,12 +222,12 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         ds_lo = ds.astype(q.dtype)
 
         # dQ += dS K * scale  (row accumulator)
-        dq_acc[...] += jax.lax.dot_general(
+        dq_acc[:, pl.ds(hh * d_h, d_h)] += jax.lax.dot_general(
             ds_lo, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         # dV[n] += P^T dO ; dK[n] += dS^T Q.
-        # bshd path: accumulators are seq-major (seqlen_k, d) — d%128==0
+        # bshd path: accumulators are seq-major (seqlen_k, hf*d) — d%128==0
         # keeps the lane axis aligned, block_k row offsets are 8-multiples,
         # and the segment flush DMAs straight into the public
         # (b, sk, h_k*d) view (no output transpose pass).
@@ -220,14 +236,16 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         # blocks are not sliceable on lanes).
         off = n * block_k
         if bshd:
-            dv_all[pl.ds(off, block_k), :] += jax.lax.dot_general(
-                p_lo, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dk_all[pl.ds(off, block_k), :] += jax.lax.dot_general(
-                ds_lo, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            dv_all[pl.ds(off, block_k), pl.ds(hh * dv_h, dv_h)] += (
+                jax.lax.dot_general(
+                    p_lo, do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            dk_all[pl.ds(off, block_k), pl.ds(hh * d_h, d_h)] += (
+                jax.lax.dot_general(
+                    ds_lo, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
         else:
             dv_all[:, pl.ds(off, block_k)] += jax.lax.dot_general(
                 do, p_lo, (((0,), (0,)), ((), ())),
@@ -237,6 +255,10 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
                 q, ds_lo, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+    def tile_body(masked):
+        for hh in range(hf):
+            head_body(hh, masked)
 
     # NOTE an interior-tile fast path (pl.when(is_full) -> mask-free
     # branch, pl.when(~is_full) -> masked branch) was tried here and
@@ -376,8 +398,6 @@ def flash_attention_bwd_fused(
     lse = lse.astype(jnp.float32)[:, :, None, :]
     delta = delta[:, :, None, :]
 
-    grid = (b, h_k, group, band.num_tiles)
-
     def amap(fn):
         return lambda b_, hk, g, t: fn(b_, hk, g, band.i_of(t), band.j_of(t))
 
@@ -407,22 +427,39 @@ def flash_attention_bwd_fused(
     # d-block sliceable on the lane axis: Mosaic wants the last block dim
     # 128-divisible (or full). Small head dims fall back to bhsd blocks.
     bshd = d % 128 == 0 and dv_dim % 128 == 0
+    # Head folding: accumulate dK/dV for hf consecutive kv heads per VMEM
+    # segment, cutting the per-segment fixed cost (accumulator zero-init +
+    # flush DMA + pipeline restart — measured ~45us on v5e) by hf. Only on
+    # the bshd path with group == 1, where the hf heads are contiguous on
+    # the lane axis of every operand (single-block DMAs). Round-4 fix for
+    # the seq4k backward: 64 segments of 12 tiles ran at 89 TF/s computed
+    # vs 128.5 for 32-tile segments (benchmarks/r4_bwd_parts.py).
+    hf = 1
+    if bshd and group == 1 and dropout_p == 0.0:
+        import os
+        hf_cap = int(os.environ.get("FA_BWD_FOLD", "8"))
+        while (hf < h_k and h_k % (hf * 2) == 0 and hf < hf_cap
+               and fits_vmem(sk_pad, (hf * 2) * d, (hf * 2) * dv_dim, bq)):
+            hf *= 2
+    n_hkb = h_k // hf
     lse_spec = pl.BlockSpec(
-        (1, 1, 1, bq), amap(lambda b_, hk, g, i, n: (b_, hk * group + g, 0, i)))
+        (1, hf, 1, bq),
+        amap(lambda b_, hk, g, i, n: (b_, hk * group + g, 0, i)))
     if bshd:
         q_in = q.reshape(b, sq, h * d)
         do_in = do.reshape(b, sq, h * dv_dim)
         k_in = k.reshape(b, sk, h_k * d)
         v_in = v.reshape(b, sk, h_k * dv_dim)
         in_specs += [
-            pl.BlockSpec((1, bq, d),
+            pl.BlockSpec((1, bq, hf * d),
                          amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g))),
-            pl.BlockSpec((1, bq, dv_dim),
+            pl.BlockSpec((1, bq, hf * dv_dim),
                          amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g))),
             lse_spec,
             lse_spec,
-            pl.BlockSpec((1, bk, d), amap(lambda b_, hk, g, i, n: (b_, n, hk))),
-            pl.BlockSpec((1, bk, dv_dim),
+            pl.BlockSpec((1, bk, hf * d),
+                         amap(lambda b_, hk, g, i, n: (b_, n, hk))),
+            pl.BlockSpec((1, bk, hf * dv_dim),
                          amap(lambda b_, hk, g, i, n: (b_, n, hk))),
         ]
     else:
@@ -441,6 +478,7 @@ def flash_attention_bwd_fused(
                          amap(lambda b_, hk, g, i, n: (b_, hk, n, 0))),
         ]
     inputs += [q_in, do_in, lse, delta, k_in, v_in]
+    grid = (b, n_hkb, group, band.num_tiles)
 
     kernel = functools.partial(
         _bwd_fused_kernel,
@@ -452,8 +490,8 @@ def flash_attention_bwd_fused(
         has_alibi=alibi_slopes is not None, dropout_p=dropout_p,
         num_heads=h, score_mod=score_mod, mask_mod=mask_mod,
         dq_dtype=q.dtype, dk_dtype=jnp.float32, dv_dtype=jnp.float32,
-        num_aux=len(aux_tensors), num_batch=b, num_kv_heads=h_k,
-        bshd=bshd, bmask=bmask,
+        num_aux=len(aux_tensors), num_batch=b, num_kv_heads=n_hkb,
+        bshd=bshd, hf=hf, head_dim=d, head_dim_v=dv_dim, bmask=bmask,
     )
 
     daux_out_specs = [
@@ -466,18 +504,19 @@ def flash_attention_bwd_fused(
 
     if bshd:
         dq_spec = pl.BlockSpec(
-            (1, bq, d), amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g)))
+            (1, bq, hf * d),
+            amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g)))
         dq_shape = jax.ShapeDtypeStruct((b, sq, h * d), q.dtype)
         dkv_shapes = [
             jax.ShapeDtypeStruct((b, sk_pad, h_k * d), k.dtype),
             jax.ShapeDtypeStruct((b, sk_pad, h_k * dv_dim), v.dtype),
         ]
         acc_scratch = [
-            pltpu.VMEM((bq, d), jnp.float32),           # dq row accumulator
-            pltpu.VMEM((sk_pad, d), jnp.float32),       # dk full-KV seq-major
-            pltpu.VMEM((sk_pad, dv_dim), jnp.float32),  # dv full-KV seq-major
-            pltpu.VMEM((sk_pad, d), k.dtype),           # dk cast staging
-            pltpu.VMEM((sk_pad, dv_dim), v.dtype),      # dv cast staging
+            pltpu.VMEM((bq, hf * d), jnp.float32),      # dq row accumulator
+            pltpu.VMEM((sk_pad, hf * d), jnp.float32),  # dk full-KV seq-major
+            pltpu.VMEM((sk_pad, hf * dv_dim), jnp.float32),  # dv full-KV
+            pltpu.VMEM((sk_pad, hf * d), k.dtype),      # dk cast staging
+            pltpu.VMEM((sk_pad, hf * dv_dim), v.dtype),  # dv cast staging
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
@@ -500,8 +539,8 @@ def flash_attention_bwd_fused(
     log_kernel_launch(
         "flash_bwd_fused", grid=grid,
         blocks={"q": (bq, d), "kv": (bk, d)},
-        causal=causal, bshd=bshd, seqlen_q=sq, seqlen_k=sk,
-        acc_vmem_bytes=4 * sk_pad * (d + dv_dim), dtype=q.dtype)
+        causal=causal, bshd=bshd, fold_heads=hf, seqlen_q=sq, seqlen_k=sk,
+        acc_vmem_bytes=4 * sk_pad * hf * (d + dv_dim), dtype=q.dtype)
 
     dq, dk, dv, *daux = pl.pallas_call(
         kernel,
@@ -520,9 +559,10 @@ def flash_attention_bwd_fused(
             dimension_semantics=(
                 ("arbitrary",) * 4 if aux_tensors else
                 ("parallel", "parallel", "arbitrary", "arbitrary")),
-            # full-KV fp32 accumulators + the resident band mask exceed the
-            # default 16 MiB scoped-VMEM limit at long seqlens (v5e ~128M)
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # full-KV fp32 accumulators (x hf folded heads) + the resident
+            # band mask exceed the default 16 MiB scoped-VMEM limit at long
+            # seqlens (v5e ~128M physical)
+            vmem_limit_bytes=108 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * b * h * sq * sk * d // (2 if causal else 1),

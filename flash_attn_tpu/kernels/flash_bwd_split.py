@@ -63,12 +63,16 @@ def flash_attention_bwd_split(
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
 
-    # Split-specific default tiles: the maskless bulk prefers a taller q
-    # tile than the fused kernel's (512, 512) — measured on v5e seq4k
-    # causal d128: (1024,512) 94.9/95.3 TF/s > (512,512) 94.0 > (1024,1024)
-    # 86.9 (benchmarks/r2_session.log).
+    # Split-specific default tiles, re-measured round 4 WITH head folding
+    # (flash_bwd_fused hf) and device-loop timing (benchmarks/r4_bwd_s4k.log):
+    # seq4k causal d128: (512,512)@hf8 115.4 gold > (1024,512)@hf8 109.4;
+    # seq8k: (1024,512) 127.9 > (512,512) 125.7 > (1024,1024) 125.9.
+    # Shorter seqs have shorter bulk rows — the ~18us/row block-switch cost
+    # favors the smaller q tile; at 8k+ row length amortizes it and the
+    # taller tile's K/V reuse wins.
     cfg = get_bwd_config(d, dv_dim, sq, sk, True)
-    bq = min(block_q or max(cfg.block_q, 1024), _next_pow2(sq))
+    bq_default = 1024 if sq >= 8192 else max(cfg.block_q, 512)
+    bq = min(block_q or bq_default, _next_pow2(sq))
     bk = min(block_k or cfg.block_k, _next_pow2(sk))
 
     def fallback():

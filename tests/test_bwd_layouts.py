@@ -62,3 +62,33 @@ def test_fused_vmem_gate():
     two-kernel path rather than over-allocating VMEM accumulators."""
     assert fits_vmem(4096, 128, 128, 512)
     assert not fits_vmem(65536, 128, 128, 512)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_head_fold_multi_segment(monkeypatch, causal):
+    """Head folding with hf < h_k: more than one kv-head BLOCK per batch,
+    exercising the folded segment-flush DMA at a nonzero head offset
+    (dst column hk_block * hf * d)."""
+    monkeypatch.setenv("FA_BWD_FOLD", "2")
+    b, h, s, d = 1, 4, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(3 + causal), 4)
+    q = jax.random.normal(ks[0], (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, s, d), jnp.bfloat16)
+    do = jax.random.normal(ks[3], (b, h, s, d), jnp.bfloat16)
+    interp = jax.default_backend() == "cpu"
+    out, lse = flash_attention_fwd(q, k, v, causal=causal, return_lse=True,
+                                   interpret=interp)
+    dq2, dk2, dv2 = flash_attention_bwd(do, q, k, v, out, lse, causal=causal,
+                                        interpret=interp)
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    dq1, dk1, dv1 = flash_attention_bwd_fused(
+        tr(do), tr(q), tr(k), tr(v), tr(out), lse, causal=causal,
+        interpret=interp)
+    for name, a, bb in (("dq", tr(dq1), dq2), ("dk", tr(dk1), dk2),
+                        ("dv", tr(dv1), dv2)):
+        aa = np.asarray(a, np.float32)
+        bbb = np.asarray(bb, np.float32)
+        err = np.abs(aa - bbb).max()
+        tol = 2e-2 * max(1.0, np.abs(bbb).max())
+        assert err <= tol, (name, err, tol)
