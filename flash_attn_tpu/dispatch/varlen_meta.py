@@ -43,6 +43,13 @@ class VarlenMeta(NamedTuple):
     jband_max: jax.Array
     iband_min: jax.Array
     iband_max: jax.Array
+    # per-q-tile interior (fully unmasked) KV sub-band, (NQ,): empty when
+    # jfull_min > jfull_max (normalized to [jband_max+1, jband_max])
+    jfull_min: jax.Array
+    jfull_max: jax.Array
+    # backward mirror: per-kv-tile interior q sub-band, (NK,)
+    ifull_min: jax.Array
+    ifull_max: jax.Array
 
 
 def _token_meta(cu_seqlens, seqused, total_pad, num_seqs, pad_seg):
@@ -69,6 +76,7 @@ def compute_varlen_meta(
     window_right: Optional[int],
     seqused_q=None,  # (b,) int32, overrides cu diff (reference seqused_q/k)
     seqused_k=None,
+    attention_chunk: int = 0,  # narrows the interior (jfull) sub-band only
 ) -> VarlenMeta:
     b = cu_seqlens_q.shape[0] - 1
     cu_q = cu_seqlens_q.astype(jnp.int32)
@@ -113,6 +121,39 @@ def compute_varlen_meta(
         col_hi_t < col_lo_t, jnp.int32(-1), col_hi_t // block_k
     ).astype(jnp.int32)  # empty band -> max < min -> tile fully skipped
 
+    # ---- per-q-tile INTERIOR (maskless) KV sub-bands ----
+    # KV tile j is interior for q tile i when every (row, col) pair in the
+    # (i, j) tile is unmasked: all rows of i real and in ONE segment, and
+    # tile j's columns all real, in that segment, within every row's
+    # causal/window/chunk range. The kernel then skips the whole mask
+    # chain on [jfull_min, jfull_max] — the varlen analogue of the dense
+    # split-edge decomposition, with DYNAMIC (data-dependent) bounds.
+    seg_tile = seg_q.reshape(num_q_tiles, block_q)
+    seg_t_min = jnp.min(seg_tile, axis=1)
+    seg_t_max = jnp.max(seg_tile, axis=1)
+    uniform = jnp.logical_and(seg_t_min == seg_t_max, seg_t_min >= 0)
+    # tightest per-row ranges across the tile (pad rows excluded above)
+    f_lo_tok = lo_tok
+    f_hi_tok = hi_tok
+    if attention_chunk > 0:
+        rs = pos_q + shift_q
+        limit = rs - rs % attention_chunk
+        f_lo_tok = jnp.maximum(f_lo_tok, limit)
+        f_hi_tok = jnp.minimum(f_hi_tok, limit + attention_chunk - 1)
+        lim_t = limit.reshape(num_q_tiles, block_q)
+        uniform = jnp.logical_and(uniform, lim_t[:, 0] == lim_t[:, -1])
+    f_col_hi = cu_k[jnp.clip(seg_q, 0, b - 1)] + f_hi_tok
+    f_col_lo = cu_k[jnp.clip(seg_q, 0, b - 1)] + f_lo_tok
+    f_hi_t = jnp.min(jnp.where(q_used, f_col_hi, big).reshape(
+        num_q_tiles, block_q), axis=1)
+    f_lo_t = jnp.max(jnp.where(q_used, f_col_lo, -1).reshape(
+        num_q_tiles, block_q), axis=1)
+    jf_lo = jnp.maximum((f_lo_t + block_k - 1) // block_k, jband_min)
+    jf_hi = jnp.minimum((f_hi_t + 1) // block_k - 1, jband_max)
+    ok = jnp.logical_and(uniform, jf_lo <= jf_hi)
+    jfull_min = jnp.where(ok, jf_lo, jband_max + 1).astype(jnp.int32)
+    jfull_max = jnp.where(ok, jf_hi, jband_max).astype(jnp.int32)
+
     # ---- per-kv-tile q bands (for backward) ----
     # For k token u in segment s: its q rows live where lo<=u_pos<=hi inverted:
     #   causal/wr: pos_k <= pos_q + shift + wr  => pos_q >= pos_k - shift - wr
@@ -140,6 +181,33 @@ def compute_varlen_meta(
         row_hi_t < row_lo_t, jnp.int32(-1), row_hi_t // block_q
     ).astype(jnp.int32)
 
+    # ---- per-kv-tile INTERIOR (maskless) q sub-bands (backward mirror of
+    # jfull: q tiles where no (row, col) pair of this kv tile is masked) ----
+    segk_tile = seg_k.reshape(num_k_tiles, block_k)
+    k_uniform = jnp.logical_and(
+        jnp.min(segk_tile, axis=1) == jnp.max(segk_tile, axis=1),
+        jnp.min(segk_tile, axis=1) >= 0)
+    f_row_lo_tok = row_lo_tok
+    f_row_hi_tok = row_hi_tok
+    if attention_chunk > 0:
+        base_k = pos_k - pos_k % attention_chunk
+        f_row_lo_tok = jnp.maximum(f_row_lo_tok, base_k - shift_k)
+        f_row_hi_tok = jnp.minimum(
+            f_row_hi_tok, base_k + attention_chunk - 1 - shift_k)
+        base_t = base_k.reshape(num_k_tiles, block_k)
+        k_uniform = jnp.logical_and(k_uniform, base_t[:, 0] == base_t[:, -1])
+    f_row_hi = cu_q[jnp.clip(seg_k, 0, b - 1)] + f_row_hi_tok
+    f_row_lo = cu_q[jnp.clip(seg_k, 0, b - 1)] + f_row_lo_tok
+    f_rhi_t = jnp.min(jnp.where(k_used, f_row_hi, big).reshape(
+        num_k_tiles, block_k), axis=1)
+    f_rlo_t = jnp.max(jnp.where(k_used, f_row_lo, -1).reshape(
+        num_k_tiles, block_k), axis=1)
+    if_lo = jnp.maximum((f_rlo_t + block_q - 1) // block_q, iband_min)
+    if_hi = jnp.minimum((f_rhi_t + 1) // block_q - 1, iband_max)
+    k_ok = jnp.logical_and(k_uniform, if_lo <= if_hi)
+    ifull_min = jnp.where(k_ok, if_lo, iband_max + 1).astype(jnp.int32)
+    ifull_max = jnp.where(k_ok, if_hi, iband_max).astype(jnp.int32)
+
     i32 = lambda x: x.astype(jnp.int32)
     return VarlenMeta(
         seg_q=i32(seg_q), pos_q=i32(pos_q),
@@ -148,4 +216,6 @@ def compute_varlen_meta(
         sk_of_q=i32(jnp.where(q_used, sk_of_q, 0)),
         jband_min=jband_min, jband_max=jband_max,
         iband_min=iband_min, iband_max=iband_max,
+        jfull_min=jfull_min, jfull_max=jfull_max,
+        ifull_min=ifull_min, ifull_max=ifull_max,
     )
