@@ -85,6 +85,7 @@ def _fwd_kernel(
     band: Optional[PackedBand] = None,
     num_aux: int = 0,
     bmask: Optional[BandMaskCfg] = None,
+    init_partial: bool = False,
 ):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
@@ -96,6 +97,13 @@ def _fwd_kernel(
     # flex-attention aux tensors (reference cute/interface.py aux_tensors):
     # whole arrays in VMEM, handed to score_mod/mask_mod as jnp values.
     aux = tuple(refs.pop(0)[...] for _ in range(num_aux))
+    # init-from-partial (split-edge causal driver): a normalized partial
+    # (out_d, lse_d) seeds the online-softmax state on each row's FIRST
+    # tile — (m, l, acc) = (lse_d, 1, out_d) is a valid carry, so the
+    # diagonal pass merges for free, amortized once per ROW instead of a
+    # separate per-tile merge kernel reading bulk partials per step.
+    od_ref = refs.pop(0) if init_partial else None    # (1,1,bq,dv) f32
+    lsed_ref = refs.pop(0) if init_partial else None  # (1,1,1,bq) f32
     q_ref, k_ref, v_ref, out_ref, lse_ref, acc, m_s, l_s = refs
 
     b_idx = pl.program_id(0)
@@ -125,9 +133,15 @@ def _fwd_kernel(
 
     @pl.when(is_first)
     def _init():
-        m_s[...] = jnp.full_like(m_s, NEG_INF)
-        l_s[...] = jnp.zeros_like(l_s)
-        acc[...] = jnp.zeros_like(acc)
+        if init_partial:
+            lse_d = lsed_ref[0, 0, 0].reshape(block_q, 1)  # natural log
+            m_s[...] = jnp.broadcast_to(lse_d * LOG2E, m_s.shape)
+            l_s[...] = jnp.ones_like(l_s)
+            acc[...] = od_ref[0, 0].astype(jnp.float32)
+        else:
+            m_s[...] = jnp.full_like(m_s, NEG_INF)
+            l_s[...] = jnp.zeros_like(l_s)
+            acc[...] = jnp.zeros_like(acc)
 
     needs_col_mask = (
         causal
@@ -415,6 +429,10 @@ def flash_attention_fwd(
     # never written — callers must overwrite or mask them). Used by the
     # split-edge causal driver (flash_fwd_split.py) to run a maskless bulk
     # pass over full tiles only.
+    init_partial=None,  # (out_d (b,h,sq,dv) f32, lse_d (b,h,sq) f32):
+    # normalized partial seeding each row's online-softmax state on its
+    # first tile (split-edge driver: the diagonal pass merges for free,
+    # read once per ROW). Plain path only; requires band_override.
 ):
     """Core fwd dispatch; layout (b, h, s, d). Returns (out, lse).
 
@@ -593,6 +611,17 @@ def flash_attention_fwd(
         in_specs.append(pl.BlockSpec(
             ax.shape, amap(lambda b_, h_, i, j, nd=nd: (0,) * nd)))
         inputs.append(ax)
+    if init_partial is not None:
+        assert band_override is not None and dropout_p == 0.0 \
+            and learnable_sink is None and q_descale is None, \
+            "init_partial: split-edge driver path only"
+        out_d, lse_d = init_partial
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bq, dv), amap(lambda b_, h_, i, j: (b_, h_, i, 0))))
+        inputs.append(out_d)  # any float dtype; kernel upcasts at init
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, bq), amap(lambda b_, h_, i, j: (b_, h_, 0, i))))
+        inputs.append(lse_d.astype(jnp.float32).reshape(b, h, 1, sq))
     in_specs += [q_spec, k_spec, v_spec]
     inputs += [q, k, v]
 
@@ -623,6 +652,7 @@ def flash_attention_fwd(
         band=band,
         num_aux=len(aux_tensors),
         bmask=bmask,
+        init_partial=init_partial is not None,
     )
 
     from flash_attn_tpu.utils.fa_logging import log_kernel_launch

@@ -160,18 +160,33 @@ def flash_attention_fwd_split(
             q, k, v, softmax_scale=softmax_scale, causal=True,
             block_q=bq, block_k=bk, interpret=interpret)
 
+    if (ebq == bq and ebk == bk and bq % bk == 0 and shift % bq == 0):
+        # Diagonal-first + init-from-partial: the pure diagonal kernel
+        # writes a normalized partial; the bulk kernel SEEDS each row's
+        # online-softmax state from it ((m, l, acc) = (lse_d, 1, out_d) is
+        # a valid carry), so the merge is amortized once per ROW inside
+        # the bulk pass instead of a per-step partial-reading merge
+        # kernel. Rows with no full tiles (the first q block when
+        # shift == 0) are never visited by the bulk band: their final
+        # out/lse IS the diagonal partial, patched below.
+        out_d, lse_d = _diag_attn(
+            q, k, v, softmax_scale=softmax_scale, block_q=bq, shift=shift,
+            interpret=interpret)
+        out, lse = flash_attention_fwd(
+            q, k, v, softmax_scale=softmax_scale, causal=False,
+            block_q=bq, block_k=bk, band_override=bulk,
+            init_partial=(out_d, lse_d), interpret=interpret)
+        if n_empty:
+            ze = n_empty * bq
+            out = jax.lax.dynamic_update_slice(
+                out, out_d[:, :, :ze].astype(out.dtype), (0, 0, 0, 0))
+            lse = jax.lax.dynamic_update_slice(
+                lse, lse_d[:, :, :ze], (0, 0, 0))
+        return out, lse
+
     out_b, lse_b = flash_attention_fwd(
         q, k, v, softmax_scale=softmax_scale, causal=False,
         block_q=bq, block_k=bk, band_override=bulk, interpret=interpret)
-
-    if (ebq == bq and ebk == bk and bq % bk == 0 and shift % bq == 0):
-        # Fused diagonal-merge kernel: the edge region per q block is
-        # exactly the block_q columns ending at the diagonal, computed and
-        # merged with the bulk partial in ONE parallel launch — no edge
-        # partial materialization, no separate combine pass.
-        return _diag_merge(q, k, v, out_b, lse_b,
-                           softmax_scale=softmax_scale, block_q=bq,
-                           shift=shift, interpret=interpret)
 
     out_e, lse_e = flash_attention_fwd(
         q, k, v, softmax_scale=softmax_scale, causal=True,
@@ -191,85 +206,83 @@ def flash_attention_fwd_split(
     return out.astype(q.dtype), lse
 
 
-def _diag_merge_kernel(q_ref, k_ref, v_ref, ob_ref, lb_ref, out_ref,
-                       lse_ref, *, block_q, scale_log2, n_empty, out_dtype):
-    """Diagonal tile + merge with the bulk partial, one parallel grid step
-    per (b, h, q block). The KV window is exactly the block_q columns
-    ending at the block's diagonal, so the causal mask is the CONSTANT
-    lower triangle (col_local <= row_local) — no absolute-position math.
-    No online-softmax carries: a single tile is a complete softmax, and
-    the bulk contribution merges by the combine algebra in the epilogue
-    (reference hopper/flash_fwd_combine_kernel.h, fused instead of a
-    separate pass)."""
-    i = pl.program_id(2)
-    q = q_ref[0, 0]  # (bq, d)
-    k = k_ref[0, 0]  # (bq, d)
-    v = v_ref[0, 0]  # (bq, dv)
-    qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
-    s2 = jax.lax.dot_general(
-        qs, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)
-    s2 = jnp.where(cols <= rows, s2, float("-inf"))
-    m_e = jnp.max(s2, axis=-1, keepdims=True)  # (bq, 1); always finite
-    p = jnp.exp2(s2 - m_e)
-    l_e = jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # Merge with the bulk partial: out_b is normalized, lse_b natural-log.
-    # Rows of the first n_empty q blocks were never written by the bulk
-    # pass (uninitialized memory): select their contribution away BEFORE
-    # any arithmetic can propagate garbage/NaN.
-    lse_b2 = lb_ref[0, 0, 0].reshape(block_q, 1) * LOG2E
-    ob = ob_ref[0, 0].astype(jnp.float32)
-    live_b = jnp.full((block_q, 1), i >= n_empty)
-    lse_b2 = jnp.where(live_b, lse_b2, float("-inf"))
-    ob = jnp.where(live_b, ob, 0.0)
-    m_tot = jnp.maximum(m_e, lse_b2)
-    w_e = jnp.exp2(m_e - m_tot)
-    w_b = jnp.exp2(jnp.where(live_b, lse_b2 - m_tot, float("-inf")))
-    denom = l_e * w_e + w_b
-    out_ref[0, 0] = ((pv * w_e + ob * w_b) / denom).astype(out_dtype)
-    lse_ref[0, 0, 0] = (m_tot * LN2 + jnp.log(denom))[:, 0]
+def _diag_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, *,
+                 block_q, gang, scale_log2, out_dtype):
+    """Pure diagonal-tile attention: each grid step computes ``gang``
+    consecutive diagonal (bq, bq) tiles (their q rows AND their KV
+    windows are contiguous, so one (gang*bq, d) slab fetch serves all;
+    the sub-tiles are statically-sliced independent softmaxes). Ganging
+    amortizes the per-step pipeline overhead, which measurement put at
+    ~3.5 us/step vs 2.7 us of MXU work at bq=1024 (see DESIGN.md). The
+    causal mask is the CONSTANT lower triangle on register-resident
+    iotas — a VMEM-resident additive mask tile was measured SLOWER
+    (3.44 vs 3.27 ms at seq8k: the mask-slice add is a genuine
+    VMEM->vreg pass, the same finding as dispatch/bandmask.py). A single
+    tile is a complete softmax — no online carries. The merge with the
+    bulk pass happens INSIDE the bulk kernel (init-from-partial seeding,
+    flash_fwd.py _init): this kernel reads q/k/v and writes out/lse
+    only, so the per-step HBM traffic per tile is ~1 MB vs the 1.5 MB
+    of the previous read-bulk-partial merge kernel."""
+    bq = block_q
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bq), 1)
+    tri = cols <= rows
+    for g in range(gang):
+        sl = slice(g * bq, (g + 1) * bq)
+        q = q_ref[0, 0, sl]  # (bq, d)
+        k = k_ref[0, 0, sl]  # (bq, d)
+        v = v_ref[0, 0, sl]  # (bq, dv)
+        qs = (q.astype(jnp.float32) * scale_log2).astype(q.dtype)
+        s2 = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s2 = jnp.where(tri, s2, float("-inf"))
+        m_e = jnp.max(s2, axis=-1, keepdims=True)  # (bq, 1); finite
+        p = jnp.exp2(s2 - m_e)
+        l_e = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        inv = 1.0 / l_e  # (bq, 1) reciprocal, then a (bq, dv) multiply
+        out_ref[0, 0, sl] = (pv * inv).astype(out_dtype)
+        lse_ref[0, 0, 0, sl] = (m_e * LN2 + jnp.log(l_e))[:, 0]
 
 
-def _diag_merge(q, k, v, out_b, lse_b, *, softmax_scale, block_q, shift,
-                interpret):
-    """Launch the diagonal-merge kernel. Requires block_q | shift (the KV
-    window index map moves in block_q units)."""
+def _diag_attn(q, k, v, *, softmax_scale, block_q, shift, interpret):
+    """Launch the pure diagonal-tile kernel. Requires block_q | shift (the
+    KV window index map moves in block_q units). Returns a NORMALIZED
+    partial (out_d f32, lse_d f32) for init-from-partial seeding."""
     b, h, sq, d = q.shape
     h_k = k.shape[1]
     dv = v.shape[-1]
     group = h // h_k
     bq = block_q
     nq = sq // bq
-    # Under the fused constraints bulk row i covers KV cols [0, i*bq+shift),
-    # which is empty iff i == 0 and shift == 0.
-    n_empty = 1 if shift == 0 else 0
-    koff = shift // bq
+    # gang consecutive diagonal tiles per grid step (contiguous q rows AND
+    # contiguous KV windows when shift % (gang*bq) == 0)
+    gang = 2 if (nq % 2 == 0 and shift % (2 * bq) == 0) else 1
+    gb = gang * bq
+    ng = nq // gang
+    koff = shift // gb
 
-    grid = (b, h, nq)
-    q_spec = pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i: (b_, h_, i, 0))
+    grid = (b, h, ng)
+    q_spec = pl.BlockSpec((1, 1, gb, d), lambda b_, h_, i: (b_, h_, i, 0))
     k_spec = pl.BlockSpec(
-        (1, 1, bq, d), lambda b_, h_, i: (b_, h_ // group, i + koff, 0))
+        (1, 1, gb, d), lambda b_, h_, i: (b_, h_ // group, i + koff, 0))
     v_spec = pl.BlockSpec(
-        (1, 1, bq, dv), lambda b_, h_, i: (b_, h_ // group, i + koff, 0))
-    ob_spec = pl.BlockSpec((1, 1, bq, dv), lambda b_, h_, i: (b_, h_, i, 0))
-    lb_spec = pl.BlockSpec((1, 1, 1, bq), lambda b_, h_, i: (b_, h_, 0, i))
-    out_spec = pl.BlockSpec((1, 1, bq, dv), lambda b_, h_, i: (b_, h_, i, 0))
-    lse_spec = pl.BlockSpec((1, 1, 1, bq), lambda b_, h_, i: (b_, h_, 0, i))
+        (1, 1, gb, dv), lambda b_, h_, i: (b_, h_ // group, i + koff, 0))
+    out_spec = pl.BlockSpec((1, 1, gb, dv), lambda b_, h_, i: (b_, h_, i, 0))
+    lse_spec = pl.BlockSpec((1, 1, 1, gb), lambda b_, h_, i: (b_, h_, 0, i))
 
     kernel = functools.partial(
-        _diag_merge_kernel, block_q=bq, scale_log2=softmax_scale * LOG2E,
-        n_empty=n_empty, out_dtype=q.dtype)
+        _diag_kernel, block_q=bq, gang=gang,
+        scale_log2=softmax_scale * LOG2E, out_dtype=q.dtype)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[q_spec, k_spec, v_spec, ob_spec, lb_spec],
+        in_specs=[q_spec, k_spec, v_spec],
         out_specs=[out_spec, lse_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq, dv), q.dtype),
@@ -277,8 +290,8 @@ def _diag_merge(q, k, v, out_b, lse_b, *, softmax_scale, block_q, shift,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
-            # (bq, bq) fp32 score temporaries on the kernel stack
-            vmem_limit_bytes=scoped_vmem_limit(bq, bq, 2),
+            # gang x (bq, bq) fp32 score temporaries on the kernel stack
+            vmem_limit_bytes=scoped_vmem_limit(bq, bq, 2 * gang),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * sq * bq * (d + dv) // 2,
@@ -286,7 +299,7 @@ def _diag_merge(q, k, v, out_b, lse_b, *, softmax_scale, block_q, shift,
             transcendentals=b * h * sq * bq // 2,
         ),
         interpret=interpret,
-    )(q, k, v, out_b, lse_b.reshape(b, h, 1, sq))
+    )(q, k, v)
     return out, lse[:, :, 0, :]
 
 

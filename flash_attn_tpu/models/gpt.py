@@ -74,6 +74,19 @@ class GPTConfig:
     # mode — long-context training beyond one device's activation memory
     # (MHA.context_parallel; set by TrainConfig.seq_parallel > 1).
     context_parallel: bool = False
+    # Megatron-style SEQUENCE PARALLELISM over the tensor-parallel axis
+    # (reference ops/fused_dense.py:166-206 all-gather-forward /
+    # reduce-scatter-backward linears + models/gpt.py:264-305
+    # sequence_parallel plumbing + utils/distributed.py:122 LN-grad
+    # allreduce): the residual stream between blocks — where LN, dropout
+    # and the residual add live — is CONSTRAINED to a seq sharding on the
+    # ``model`` mesh axis, so XLA inserts exactly the reference's
+    # all-gather entering each block's column-parallel matmuls and
+    # reduce-scatter leaving its row-parallel ones, and the LN work +
+    # activation memory shrink by the TP degree. Distinct from
+    # context_parallel (ring attention over a dedicated ``seq`` axis):
+    # here attention still sees the full sequence on every TP rank.
+    sequence_parallel: bool = False
     # Per-layer activation rematerialization (jax.checkpoint / flax
     # nn.remat) in train mode: trades ~1/3 extra fwd FLOPs for O(layers)
     # less activation memory. The reference's headline 72%-MFU number is
@@ -216,6 +229,24 @@ class GPTModel(nn.Module):
                       .checkpoint_dots_with_no_batch_dims
                       if cfg.remat_policy == "dots" else None)
             block_fn = nn.remat(block_fn, policy=policy)
+        if cfg.sequence_parallel and hidden.ndim == 3:
+            # Megatron SP: pin the residual stream to a sequence sharding
+            # over the TP axis between blocks (see GPTConfig docstring).
+            from jax.sharding import PartitionSpec as _P
+
+            from flash_attn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+            sp_spec = _P(DATA_AXIS, MODEL_AXIS, None)
+
+            def _sp(x):
+                return (None if x is None
+                        else jax.lax.with_sharding_constraint(x, sp_spec))
+
+            hidden = _sp(hidden)
+            inner_fn = block_fn
+
+            def block_fn(block, h, r):
+                h, r = inner_fn(block, h, r)
+                return _sp(h), _sp(r)
         for block in self.layers:
             hidden, residual = block_fn(block, hidden, residual)
         if residual is not None:
