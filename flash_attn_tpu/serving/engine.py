@@ -122,35 +122,39 @@ class InferenceEngine:
         self.slot_new = np.zeros((max_batch,), np.int32)  # generated count
         self._next_id = 0
         self.cache = None
+        # Async host pipeline (round 5): the decode block dispatched at step
+        # k is NOT fetched until step k+1 has dispatched block k+1 — the
+        # device carries the token feedback (ys[-1]), so the ~10-30 ms
+        # tunnel fetch overlaps the next block's compute instead of gating
+        # it. _pending = (ys_device, slot->request snapshot at dispatch).
+        self._pending: Optional[Tuple[jax.Array, List[Optional[Request]]]] \
+            = None
 
-        def _decode_step(params, cache, toks, rng, block_table):
-            kw = {} if block_table is None else {"block_table": block_table}
-            logits, state = self.model.apply(
-                {"params": params, "cache": cache}, toks, mode="decode",
-                mutable=["cache"], **kw)
-            rng, key = jax.random.split(rng)
-            nxt = sample_token(logits[:, -1], key, self.cfg)
-            return nxt, state["cache"], rng
+        # The jitted step closures capture LOCALS, never `self`: a closure
+        # over `self` creates a reference cycle (self -> jitted fn -> cell ->
+        # self) that defers the engine's multi-GB cache to the cycle GC —
+        # measured round-5: two sequential engines at the 913M bench shape
+        # OOM the 16 GB chip because the first cache (6 GB) is still alive
+        # when the second allocates.
+        model, gen_cfg, n_block = self.model, self.cfg, self.decode_block
 
         # Donate the cache: the per-layer KV scatter otherwise forces XLA to
         # materialize a full cache copy per step (measured: the copies, not
         # the math, dominated 1B-model decode).
-        self._decode = jax.jit(_decode_step, donate_argnums=(1,))
-
         def _decode_block_fn(params, cache, toks, rng, block_table):
             kw = {} if block_table is None else {"block_table": block_table}
 
             def body(carry, _):
                 cache, toks, rng = carry
-                logits, state = self.model.apply(
+                logits, state = model.apply(
                     {"params": params, "cache": cache}, toks[:, None],
                     mode="decode", mutable=["cache"], **kw)
                 rng, key = jax.random.split(rng)
-                nxt = sample_token(logits[:, -1], key, self.cfg)
+                nxt = sample_token(logits[:, -1], key, gen_cfg)
                 return (state["cache"], nxt, rng), nxt
 
             (cache, _, rng), ys = jax.lax.scan(
-                body, (cache, toks, rng), None, length=self.decode_block)
+                body, (cache, toks, rng), None, length=n_block)
             return ys, cache, rng  # ys: (n, B)
 
         self._decode_block_fn = jax.jit(_decode_block_fn, donate_argnums=(1,))
@@ -162,15 +166,80 @@ class InferenceEngine:
             kw = {} if block_table is None else {"block_table": block_table}
             # lm_head runs only at each prompt's true last position (full
             # (b, s, vocab) fp32 logits OOM at serving batch sizes)
-            logits, state = self.model.apply(
+            logits, state = model.apply(
                 variables, ids, mode="prefill", mutable=["cache"],
                 slot_ids=slot_ids, prefill_lengths=lengths,
                 logits_positions=lengths - 1, **kw)
             rng, key = jax.random.split(rng)
-            nxt = sample_token(logits[:, 0], key, self.cfg)
+            nxt = sample_token(logits[:, 0], key, gen_cfg)
             return nxt, state["cache"], rng
 
         self._prefill = jax.jit(_prefill, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    def warmup(self, prefill_shapes=None):
+        """Pre-compile + pre-execute the jitted programs before traffic —
+        the TPU analogue of the reference pre-capturing its decode CUDA
+        graphs per batch size (utils/generation.py:618 update_graph_cache /
+        :693 capture_graph). Without this, every bucketed prefill shape
+        compiles on the request path (~30-60 s each on first sight).
+
+        ``prefill_shapes``: iterable of (rows, padded_len) admission shapes
+        to pre-build. Default: the single full-budget shape the admission
+        bucketing produces under ``max_admit_tokens`` (rows = budget /
+        max_decode_seqlen rounded to pow2) — callers with a known traffic
+        mix should pass their shapes explicitly. The dummy prefill runs
+        with lengths=0 on free slots, so it writes nothing and leaves
+        engine state untouched (offsets re-zeroed afterwards).
+        """
+        if self.cache is None:
+            self._init_cache()
+        if prefill_shapes is None:
+            cap = getattr(getattr(self.model, "config", None),
+                          "max_decode_seqlen", 0) or 512
+            plen = _next_pow2(max(16, cap - self.decode_block - 16))
+            rows = self.B
+            if self.max_admit_tokens is not None:
+                rows = max(1, self.max_admit_tokens // plen)
+            rows = min(_next_pow2(rows), self.B)
+            prefill_shapes = [(rows, plen)]
+        for rows, plen in prefill_shapes:
+            ids = np.zeros((rows, plen), np.int32)
+            slot_ids = np.arange(rows, dtype=np.int32)
+            lengths = np.zeros((rows,), np.int32)
+            _, self.cache, self.rng = self._prefill(
+                self.params, self.cache, jnp.asarray(ids),
+                jnp.asarray(slot_ids), jnp.asarray(lengths), self.rng,
+                self._table())
+            self.prefill_shapes.add((rows, plen))
+        # decode program (appends land on inactive slots: the null page /
+        # position 0, both overwritten by any real admission)
+        _, self.cache, self.rng = self._decode_block_fn(
+            self.params, self.cache, jnp.asarray(self.slot_tok),
+            self.rng, self._table())
+        self._set_inactive_offsets_zero()
+
+    def reset(self):
+        """Clear all requests/slots but KEEP the cache arrays and compiled
+        programs — reuse one engine across benchmark passes instead of
+        paying a second multi-GB cache + full recompile."""
+        if self.pool is not None:
+            for slot in list(self.pool.pages_of):
+                self.pool.release(slot)
+        self.queue.clear()
+        self.requests.clear()
+        self._pending = None
+        self.slots = [None] * self.B
+        self.slot_tok[:] = 0
+        self.slot_new[:] = 0
+        if self.cache is not None:
+            self._set_inactive_offsets_zero()
+
+    def close(self):
+        """Release the KV cache and compiled-step references eagerly."""
+        self.cache = None
+        self._prefill = self._decode_block_fn = None
+        self.reset()
 
     # ------------------------------------------------------------------
     def submit(self, prompt, max_new_tokens: int = 64) -> int:
@@ -219,8 +288,12 @@ class InferenceEngine:
     # ------------------------------------------------------------------
     def step(self) -> List[Tuple[int, int]]:
         """One engine step: admit queued requests into free slots (prefill),
-        then one decode step for all active slots. Returns the list of
-        (req_id, token) emitted this step."""
+        dispatch one decode block for all active slots, then process the
+        PREVIOUS step's block (async host pipeline: the fetch of block k's
+        tokens overlaps block k+1's device compute — the device carries the
+        token feedback, so the tunnel roundtrip is off the critical path).
+        Returns the list of (req_id, token) emitted this step; decode
+        tokens lag dispatch by one step."""
         if self.cache is None:
             self._init_cache()
         emitted: List[Tuple[int, int]] = []
@@ -242,7 +315,7 @@ class InferenceEngine:
                     break  # admit the rest next step
             if self.pool is not None and not self.pool.alloc(
                     slot, len(req.prompt) + req.max_new_tokens
-                    + self.decode_block - 1):
+                    + 2 * self.decode_block - 1):
                 self.pool.release(slot)
                 break  # out of pages: wait for completions
             free.pop(0)
@@ -288,44 +361,56 @@ class InferenceEngine:
                 self.slot_tok[slot] = tok
                 self.slot_new[slot] = 1
                 emitted.append((req.req_id, tok))
-                self._maybe_finish(slot, tok)
+                self._maybe_finish(slot, req, tok)
 
-        # ---- decode step(s) over all slots ----
+        # ---- dispatch this step's decode block BEFORE fetching the
+        # previous one (async host pipeline): the device carries the token
+        # feedback (block k's ys[-1] feeds block k+1 without a roundtrip),
+        # newly admitted slots' prefill tokens are merged in by scatter ----
+        new_pending = None
         if any(r is not None for r in self.slots):
-            if self.decode_block == 1:
-                toks = jnp.asarray(self.slot_tok[:, None])
-                nxt, self.cache, self.rng = self._decode(
-                    self.params, self.cache, toks, self.rng, self._table())
-                ys = np.asarray(nxt)[None]  # (1, B)
-            else:
+            if self._pending is None:
                 toks = jnp.asarray(self.slot_tok)
-                ys, self.cache, self.rng = self._decode_block_fn(
-                    self.params, self.cache, toks, self.rng, self._table())
-                ys = np.asarray(ys)  # (n, B)
-            # Mid-block completions: tail tokens for a finished slot are
-            # discarded; page release defers to the block edge (the device
-            # kept appending into the slot's own pages — the admission
-            # allocation reserves the n-1 margin).
+            else:
+                toks = self._pending[0][-1]
+                if admit:
+                    idx = np.asarray([s for s, _ in admit], np.int32)
+                    toks = toks.at[jnp.asarray(idx)].set(
+                        jnp.asarray(self.slot_tok[idx]))
+            ys, self.cache, self.rng = self._decode_block_fn(
+                self.params, self.cache, toks, self.rng, self._table())
+            new_pending = (ys, list(self.slots))
+
+        # ---- process the PREVIOUS block: its fetch overlaps the block
+        # dispatched above. Token attribution uses the slot->request
+        # snapshot taken at ITS dispatch (a slot may since have finished
+        # and been re-admitted). A request that finishes mid-stream keeps
+        # decoding until the next dispatch sees it gone — tail tokens are
+        # discarded and the admission allocation reserves a 2n-1 page
+        # margin for the (mid-block waste + one stale block) worst case.
+        if self._pending is not None:
+            ys_dev, snap = self._pending
+            ys = np.asarray(ys_dev)  # (n, B)
             finished: List[int] = []
             for t in range(ys.shape[0]):
-                for slot, req in enumerate(self.slots):
-                    if req is None or slot in finished:
+                for slot, req in enumerate(snap):
+                    if req is None or req.done or self.slots[slot] is not req:
                         continue
                     tok = int(ys[t, slot])
                     req.generated.append(tok)
                     self.slot_tok[slot] = tok
                     self.slot_new[slot] += 1
                     emitted.append((req.req_id, tok))
-                    self._maybe_finish(slot, tok, defer=finished)
+                    self._maybe_finish(slot, req, tok, defer=finished)
             for slot in finished:
                 self.slots[slot] = None
                 if self.pool is not None:
                     self.pool.release(slot)
             self._set_inactive_offsets_zero()
+        self._pending = new_pending
         return emitted
 
-    def _maybe_finish(self, slot: int, tok: int, defer=None):
-        req = self.slots[slot]
+    def _maybe_finish(self, slot: int, req: "Request", tok: int, defer=None):
         eos = self.cfg.eos_token_id
         if (eos is not None and tok == eos) or (
                 self.slot_new[slot] >= req.max_new_tokens):
@@ -340,7 +425,8 @@ class InferenceEngine:
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Run until queue + slots drain; returns {req_id: generated}."""
         for _ in range(max_steps):
-            if not self.queue and all(r is None for r in self.slots):
+            if (not self.queue and self._pending is None
+                    and all(r is None for r in self.slots)):
                 break
             self.step()
         return {rid: r.generated for rid, r in self.requests.items()}

@@ -339,3 +339,68 @@ def test_stray_page_writes_cannot_clobber_sequences(model_and_params):
     assert res[vid] == _reference_generation(model_lin, params, victim, 16)
     assert res[lid] == _reference_generation(model_lin, params, long_p, 2)
     assert res[sid] == _reference_generation(model_lin, params, short_p, 2)
+
+
+def test_engine_warmup_then_traffic_unchanged(model_and_params):
+    """warmup() pre-executes the bucketed prefill + decode programs on
+    dummy inputs and must leave engine state untouched: outputs after
+    warmup equal outputs without it (the reference pre-captures decode
+    graphs the same way, utils/generation.py:618)."""
+    model, params = model_and_params
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 96, size=n).tolist() for n in (5, 9)]
+
+    cold = InferenceEngine(model, params, max_batch=2,
+                           gen_cfg=GenerationConfig(top_k=1))
+    ids_c = [cold.submit(p, max_new_tokens=6) for p in prompts]
+    res_c = cold.run()
+
+    warm = InferenceEngine(model, params, max_batch=2,
+                           gen_cfg=GenerationConfig(top_k=1))
+    warm.warmup(prefill_shapes=[(2, 16)])
+    assert (2, 16) in warm.prefill_shapes
+    offs = warm._offsets()
+    assert int(np.max(np.abs(np.asarray(offs)))) == 0, "warmup moved offsets"
+    ids_w = [warm.submit(p, max_new_tokens=6) for p in prompts]
+    res_w = warm.run()
+    for rc, rw in zip(ids_c, ids_w):
+        assert res_c[rc] == res_w[rw]
+
+
+def test_engine_reset_reuses_cache(model_and_params):
+    """reset() clears requests/slots but keeps cache + compiled programs;
+    a second trace on the same engine produces correct outputs."""
+    model, params = model_and_params
+    rng = np.random.default_rng(4)
+    p1 = rng.integers(0, 96, size=7).tolist()
+    p2 = rng.integers(0, 96, size=4).tolist()
+    eng = InferenceEngine(model, params, max_batch=2,
+                          gen_cfg=GenerationConfig(top_k=1))
+    r1 = eng.submit(p1, max_new_tokens=5)
+    first = eng.run()[r1]
+    kv_before = max(jax.tree.leaves(eng.cache), key=lambda x: x.nbytes)
+    eng.reset()
+    kv_after = max(jax.tree.leaves(eng.cache), key=lambda x: x.nbytes)
+    assert kv_after is kv_before  # KV arrays kept, no realloc
+    r2 = eng.submit(p2, max_new_tokens=5)
+    second = eng.run()[r2]
+    assert second == _reference_generation(model, params, p2, 5)
+    assert first == _reference_generation(model, params, p1, 5)
+
+
+def test_engine_freed_by_refcount(model_and_params):
+    """The engine must hold NO self-referential cycle through its jitted
+    closures: dropping the last reference frees the engine (and its
+    multi-GB cache) immediately, without the cycle GC. Round-4 regression:
+    closures over `self` kept a 6 GB cache alive into the next engine's
+    allocation and OOM'd the chip."""
+    import weakref
+
+    model, params = model_and_params
+    eng = InferenceEngine(model, params, max_batch=2,
+                          gen_cfg=GenerationConfig(top_k=1))
+    eng.submit([1, 2, 3], max_new_tokens=2)
+    eng.run()
+    ref = weakref.ref(eng)
+    del eng
+    assert ref() is None, "engine survived refcount release (cycle)"
