@@ -20,8 +20,11 @@ from flash_attn_tpu.kernels.flash_bwd_fused import (
     flash_attention_bwd_auto as flash_attention_bwd,
 )
 from flash_attn_tpu.kernels.flash_varlen import (
-    flash_attention_varlen_fwd,
     flash_attention_varlen_bwd,
+    flash_attention_varlen_fwd,
+)
+from flash_attn_tpu.kernels.flash_varlen_persistent import (
+    flash_attention_varlen_fwd_persistent,
 )
 
 __all__ = [
@@ -341,7 +344,13 @@ def _flash_attn_varlen_fwd_res(q, k, v, cu_seqlens_q, cu_seqlens_k,
                                max_seqlen_q, max_seqlen_k,
                                softmax_scale, causal, window_size, softcap,
                                attention_chunk, dropout_p, block_q, block_k):
-    out, lse = flash_attention_varlen_fwd(
+    # Persistent flat-walk kernel (round 5) by default: one grid step per
+    # head streams every band back-to-back through a 4-deep DMA pipeline.
+    # ALiBi stays on the banded kernel — the persistent kernel derives
+    # slopes by per-segment select, which scales with batch size.
+    fwd_fn = (flash_attention_varlen_fwd if alibi_slopes is not None
+              else flash_attention_varlen_fwd_persistent)
+    out, lse = fwd_fn(
         q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
         seqused_q=seqused_q, seqused_k=seqused_k, alibi_slopes=alibi_slopes,
         learnable_sink=learnable_sink,
