@@ -84,6 +84,10 @@ class TrainConfig:
     # callbacks/loss_scale_monitor.py). 0 disables (bf16 needs none).
     loss_scale_init: float = 0.0
     loss_scale_growth_interval: int = 200
+    # Adam moment storage dtype: "float32" (reference-faithful) or
+    # "bfloat16" (stochastic-rounded moments, adamw_bf16 — halves the
+    # optimizer HBM footprint + per-step state traffic on 16 GB chips)
+    opt_state_dtype: str = "float32"
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 500
     log_every: int = 10
@@ -106,6 +110,85 @@ def model_flops_per_token(cfg: GPTConfig, seqlen: int) -> float:
     )
     attn = 12 * cfg.n_layer * cfg.n_embd * seqlen / 2  # causal
     return 6 * n_params + attn
+
+
+def _stochastic_round_bf16(x32: jax.Array, salt: jax.Array) -> jax.Array:
+    """fp32 -> bf16 with unbiased stochastic rounding.
+
+    Dither bits come from a cheap value+step hash (xorshift-multiply),
+    not a counter-based PRNG: threefry over the full optimizer state
+    (~2x913M u32/step) would cost more VPU time than the HBM traffic the
+    bf16 state saves. The hash is deterministic per (value, step), which
+    keeps the train step bitwise reproducible (the determinism contract)."""
+    bits = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    h = bits ^ (bits >> 15)
+    h = h * jnp.uint32(0x9E3779B1) + salt
+    h = (h ^ (h >> 13)) * jnp.uint32(0x85EBCA6B)
+    rounded = (bits + (h & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    y = jax.lax.bitcast_convert_type(rounded, jnp.float32)
+    y = jnp.where(jnp.isfinite(x32), y, x32)
+    return y.astype(jnp.bfloat16)
+
+
+def scale_by_adam_bf16(b1: float, b2: float, eps: float = 1e-8):
+    """Adam moment tracking with bfloat16 moment STORAGE (update math in
+    fp32, write-back stochastically rounded).
+
+    TPU-native ZeRO-for-one-chip: on a 16 GB v5e the fp32 Adam state of a
+    913M model costs ~7.3 GB of HBM and ~15 GB/step of read+write traffic
+    (~9 ms at 800 GB/s). bf16 moments halve both. Stochastic rounding
+    keeps the tiny (1-b2)*g^2 increments from stalling below bf16's 8-bit
+    mantissa (the known RTN failure mode for second moments). The
+    reference's apex DistributedFusedAdam keeps fp32 state and shards it
+    across 8 GPUs instead (training/src/utils/ddp_zero2.py:73)."""
+
+    def init_fn(params):
+        z = lambda p: jnp.zeros(p.shape, jnp.bfloat16)
+        return {
+            "count": jnp.zeros([], jnp.int32),
+            "mu": jax.tree_util.tree_map(z, params),
+            "nu": jax.tree_util.tree_map(z, params),
+        }
+
+    def update_fn(updates, state, params=None):
+        del params
+        c = state["count"] + 1
+        bc1 = 1.0 - b1 ** c.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** c.astype(jnp.float32)
+        salt_mu = c.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        salt_nu = salt_mu ^ jnp.uint32(0x5851F42D)
+
+        mu32 = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            updates, state["mu"])
+        nu32 = jax.tree_util.tree_map(
+            lambda g, n: b2 * n.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates, state["nu"])
+        out = jax.tree_util.tree_map(
+            lambda m, n: (m / bc1) / (jnp.sqrt(n / bc2) + eps), mu32, nu32)
+        new_state = {
+            "count": c,
+            "mu": jax.tree_util.tree_map(
+                lambda m: _stochastic_round_bf16(m, salt_mu), mu32),
+            "nu": jax.tree_util.tree_map(
+                lambda n: _stochastic_round_bf16(n, salt_nu), nu32),
+        }
+        return out, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_bf16(learning_rate, b1: float, b2: float, eps: float = 1e-8,
+               weight_decay: float = 0.0):
+    """AdamW (decoupled weight decay) with bf16 stochastic-rounded moment
+    state — drop-in for optax.adamw at half the optimizer HBM footprint."""
+    return optax.chain(
+        scale_by_adam_bf16(b1, b2, eps),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
 
 
 class Trainer:
@@ -149,10 +232,15 @@ class Trainer:
             ], [cfg.warmup_steps])
         else:
             raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+        if cfg.opt_state_dtype == "bfloat16":
+            inner = adamw_bf16(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                               weight_decay=cfg.weight_decay)
+        else:
+            inner = optax.adamw(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                weight_decay=cfg.weight_decay)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                        weight_decay=cfg.weight_decay),
+            inner,
         )
 
         ids = jnp.zeros((2, cfg.seqlen), jnp.int32)

@@ -431,3 +431,74 @@ def test_fused_ce_untied_normhead(token_file):
             trainer.params, trainer.opt_state, ids, labs,
             trainer.ema_params, trainer.scaler)
         np.testing.assert_allclose(float(loss), ref, rtol=2e-5)
+
+
+def test_bf16_optimizer_state_tracks_fp32():
+    """adamw_bf16 (stochastic-rounded bf16 moments) must track the fp32
+    AdamW loss curve on a small model: same trajectory within a small
+    tolerance, and the moment state is actually stored in bfloat16."""
+    import numpy as np
+
+    from flash_attn_tpu.models.gpt import GPTConfig
+    from flash_attn_tpu.training.trainer import TrainConfig, Trainer
+
+    mcfg = GPTConfig(vocab_size=128, n_positions=0, n_embd=64, n_layer=2,
+                     n_head=4, rotary_emb_fraction=1.0, use_rms_norm=True,
+                     dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(5), (4, 64), 0, 128)
+    labels = jnp.roll(ids, -1, axis=1)
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = TrainConfig(model=mcfg, batch_size=4, seqlen=64, lr=1e-2,
+                          warmup_steps=1, total_steps=40, zero1=False,
+                          fused_ce=False, log_every=10**9,
+                          opt_state_dtype=dtype)
+        tr = Trainer(cfg)
+        curve = []
+        with jax.set_mesh(tr.mesh):
+            for _ in range(30):
+                (tr.params, tr.opt_state, loss, _g, tr.ema_params,
+                 tr.scaler) = tr._step(tr.params, tr.opt_state, ids, labels,
+                                       tr.ema_params, tr.scaler)
+                curve.append(float(loss))
+        losses[dtype] = curve
+        if dtype == "bfloat16":
+            leaves = jax.tree_util.tree_leaves(tr.opt_state)
+            assert any(l.dtype == jnp.bfloat16 for l in leaves
+                       if hasattr(l, "dtype")), "moments not bf16"
+    # both optimize; curves stay close (overfitting a fixed batch)
+    assert losses["bfloat16"][-1] < losses["bfloat16"][0] * 0.7
+    rel = abs(losses["bfloat16"][-1] - losses["float32"][-1]) / max(
+        1e-6, abs(losses["float32"][-1]))
+    assert rel < 0.15, (losses["float32"][-5:], losses["bfloat16"][-5:])
+
+
+def test_stochastic_round_bf16_unbiased():
+    """The SR primitive: exact on bf16-representable values; mean of the
+    rounding over many step salts approximates the fp32 value (unbiased),
+    unlike round-to-nearest which collapses tiny increments."""
+    import numpy as np
+
+    from flash_attn_tpu.training.trainer import _stochastic_round_bf16
+
+    exact = jnp.asarray([1.0, -2.5, 0.0, 0.015625], jnp.float32)
+    for s in (1, 7, 123):
+        out = _stochastic_round_bf16(exact, jnp.uint32(s))
+        assert jnp.all(out.astype(jnp.float32) == exact)
+
+    # value halfway in the bf16 gap: mean over salts ~ true value
+    lo = jnp.float32(1.0)
+    hi = jnp.float32(float(jnp.nextafter(jnp.bfloat16(1.0),
+                                         jnp.bfloat16(2.0))))
+    x = jnp.full((4096,), (float(lo) + float(hi)) / 2, jnp.float32)
+    outs = [np.asarray(_stochastic_round_bf16(
+        x, jnp.uint32(s) * jnp.uint32(0x9E3779B9)).astype(jnp.float32))
+        for s in range(1, 9)]
+    m = float(np.mean(np.stack(outs)))
+    mid = (float(lo) + float(hi)) / 2
+    assert abs(m - mid) < (float(hi) - float(lo)) * 0.25, (m, mid)
+    # and non-finite passthrough
+    bad = jnp.asarray([jnp.inf, -jnp.inf, jnp.nan], jnp.float32)
+    ob = _stochastic_round_bf16(bad, jnp.uint32(3)).astype(jnp.float32)
+    assert jnp.isinf(ob[0]) and jnp.isinf(ob[1]) and jnp.isnan(ob[2])
