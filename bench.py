@@ -443,14 +443,15 @@ def bench_engine(n_requests=96):
     pages_per_seq = -(-(prompt_len + gen_sat + 16) // page)
     cfg = _gpt_913m(max_decode=prompt_len + gen_sat + 16)
     import dataclasses
-    cfg = dataclasses.replace(cfg, paged_kv_num_pages=B * pages_per_seq,
+    cfg = dataclasses.replace(cfg, paged_kv_num_pages=B * pages_per_seq + 1,
                               paged_kv_page_size=page)
     model = GPTLMHeadModel(cfg)
     params = model.init(jax.random.PRNGKey(1),
                         jnp.zeros((2, 8), jnp.int32))["params"]
     rng = np.random.default_rng(0)
 
-    pool = PagePool(num_pages=B * pages_per_seq, page_size=page,
+    # +1: page 0 is the never-allocated null page
+    pool = PagePool(num_pages=B * pages_per_seq + 1, page_size=page,
                     max_pages_per_seq=pages_per_seq, max_batch=B)
     eng = InferenceEngine(
         model, params, max_batch=B, gen_cfg=GenerationConfig(top_k=1),

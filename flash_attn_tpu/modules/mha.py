@@ -148,21 +148,54 @@ class MHA(nn.Module):
                        name="Wqkv")(x)
         if self.dwconv:
             # causal depthwise conv over the sequence (reference
-            # modules/mha.py dwconv_qkv: Conv1d(groups=dim, k=3, pad=2)[:-2])
-            assert cu_seqlens is None and mode == "train", \
-                "dwconv: train mode, non-packed only"
+            # modules/mha.py dwconv_qkv: Conv1d(groups=dim, k=3, pad=2)[:-2]).
+            # Inference parity (reference applies it in prefill AND decode,
+            # mha.py:373 region): the last two pre-conv qkv timesteps roll
+            # through a "dwconv_state" cache variable alongside the KV
+            # cache, so y_t = w0*x_{t-2} + w1*x_{t-1} + w2*x_t + b holds
+            # across the prefill/decode boundary exactly as in train mode.
+            assert cu_seqlens is None, "dwconv: non-packed only"
             w = self.param("dwconv_kernel", nn.initializers.normal(0.02),
                            (3, 1, qkv_dim), jnp.float32)
             b_dw = self.param("dwconv_bias", nn.initializers.zeros,
                               (qkv_dim,), jnp.float32)
-            pad = jnp.pad(qkv, ((0, 0), (2, 0), (0, 0)))
-            qkv = jax.lax.conv_general_dilated(
-                pad.astype(jnp.float32), w,
-                window_strides=(1,), padding="VALID",
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                feature_group_count=qkv_dim,
-            ) + b_dw
-            qkv = qkv.astype(self.dtype)
+
+            def _conv(xin):
+                return (jax.lax.conv_general_dilated(
+                    xin.astype(jnp.float32), w,
+                    window_strides=(1,), padding="VALID",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    feature_group_count=qkv_dim,
+                ) + b_dw).astype(self.dtype)
+
+            if mode == "decode":
+                st = self.variable(
+                    "cache", "dwconv_state",
+                    lambda: jnp.zeros((x.shape[0], 2, qkv_dim), self.dtype))
+                ext = jnp.concatenate(
+                    [st.value.astype(qkv.dtype), qkv], axis=1)
+                st.value = ext[:, -2:].astype(self.dtype)
+                qkv = _conv(ext)
+            else:
+                padded = jnp.pad(qkv, ((0, 0), (2, 0), (0, 0)))
+                if mode == "prefill":
+                    st = self.variable(
+                        "cache", "dwconv_state",
+                        lambda: jnp.zeros((x.shape[0], 2, qkv_dim),
+                                          self.dtype))
+                    lengths_dw = (
+                        jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+                        if prefill_lengths is None
+                        else prefill_lengths.astype(jnp.int32))
+                    # padded[:, len + i] = x[len - 2 + i] (zeros when len<2)
+                    idx = jnp.stack([lengths_dw, lengths_dw + 1], axis=1)
+                    new_st = jnp.take_along_axis(
+                        padded, idx[:, :, None], axis=1).astype(self.dtype)
+                    if slot_ids is None:
+                        st.value = new_st
+                    else:
+                        st.value = st.value.at[slot_ids].set(new_st)
+                qkv = _conv(padded)
         q, k, v = jnp.split(qkv, [h * d, (h + h_k) * d], axis=-1)
         slopes = self._alibi_slopes() if self.use_alibi else None
 
