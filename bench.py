@@ -245,6 +245,51 @@ def bench_varlen(peak):
     return const_tf, mixed_tf, mixed_bwd_tf
 
 
+def bench_paged_prefill(peak):
+    """Packed mixed-length chunked prefill against the paged cache (the
+    serving hot path) via kernels/flash_varlen_paged.py. The round-4
+    dense-padded front end VMEM-OOMs at this GQA serving shape (measured:
+    151.9M > 128M vmem; benchmarks/paged_prefill_bench.py), so this
+    metric exists only because of the packed kernel."""
+    import numpy as np
+
+    from flash_attn_tpu.kernels.flash_varlen_paged import (
+        flash_attention_varlen_paged_fwd,
+    )
+
+    h, h_k, d, page = 32, 8, 128, 256
+    rng = np.random.default_rng(0)
+    lens_q = [int(x) for x in rng.integers(256, 1025, size=16)]
+    lens_k = [lq + int(x) for lq, x in
+              zip(lens_q, rng.integers(0, 1024, size=16))]
+    b = len(lens_q)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens_q)]), jnp.int32)
+    total_q = int(cu[-1])
+    maxpg = max(-(-lk // page) for lk in lens_k)
+    npages = b * maxpg + 1
+    q = jax.random.normal(jax.random.PRNGKey(0), (total_q, h, d),
+                          jnp.bfloat16)
+    kp = jax.random.normal(jax.random.PRNGKey(1),
+                           (npages, h_k, page, d), jnp.bfloat16)
+    vp = jax.random.normal(jax.random.PRNGKey(2),
+                           (npages, h_k, page, d), jnp.bfloat16)
+    table = np.zeros((b, maxpg), np.int32)
+    n = 1
+    for s_, lk in enumerate(lens_k):
+        for j in range(-(-lk // page)):
+            table[s_, j] = n
+            n += 1
+    table = jnp.asarray(table)
+    seqk = jnp.asarray(lens_k, jnp.int32)
+    mxq = max(lens_q)
+    useful = sum(4.0 * h * d * sum(lk - lq + r + 1 for r in range(lq))
+                 for lq, lk in zip(lens_q, lens_k))
+    fn = lambda q, kp, vp: flash_attention_varlen_paged_fwd(
+        q, kp, vp, cu, mxq, seqk, table, causal=True)[0]
+    t = bench_device_loop(fn, q, kp, vp, N=30)
+    return useful / t / 1e12, t
+
+
 def bench_decode_fp8_paged(dtype=None):
     from flash_attn_tpu import flash_attn_with_kvcache
 
@@ -313,8 +358,12 @@ def bench_train_mfu(peak):
         TrainConfig, Trainer, model_flops_per_token)
 
     batch, seqlen = 4, 2048
+    # bf16 Adam state (stochastic rounding, trainer.adamw_bf16): halves
+    # the optimizer HBM traffic — the VERDICT r4 #3 lever; loss-parity
+    # tested in tests/test_training.py
     cfg = TrainConfig(model=_gpt_913m(remat=False), batch_size=batch,
-                      seqlen=seqlen, zero1=False, log_every=10**9)
+                      seqlen=seqlen, zero1=False, log_every=10**9,
+                      opt_state_dtype="bfloat16")
     tr = Trainer(cfg)
     ids = jax.random.randint(jax.random.PRNGKey(0), (batch, seqlen), 0,
                              cfg.model.vocab_size)
@@ -572,6 +621,14 @@ def main():
             note(f"varlen done {vl_const:.1f}/{vl_mixed:.1f}/{vl_bwd:.1f}")
         except Exception as e:  # pragma: no cover
             result["varlen_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    if os.environ.get("FA_TPU_BENCH_VARLEN", "1") == "1":
+        try:
+            pp_tf, _pp_t = bench_paged_prefill(peak)
+            result["varlen_paged_prefill_tflops"] = round(pp_tf, 2)
+            note(f"paged prefill done {pp_tf:.1f}")
+        except Exception as e:  # pragma: no cover
+            result["paged_prefill_error"] = \
+                f"{type(e).__name__}: {str(e)[:200]}"
     if os.environ.get("FA_TPU_BENCH_DECODE", "1") == "1":
         try:
             dec_tps, dec_t = bench_decode_fp8_paged()

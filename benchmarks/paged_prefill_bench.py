@@ -21,15 +21,11 @@ from flash_attn_tpu.kernels.flash_varlen_paged import (
 )
 
 
-def main():
+def run_cfg(lens_q, lens_k, label, skip_dense=False):
     # serving-shaped chunked prefill: GQA 32/8, d128, page 256; a skewed
     # mixed batch (one long chunk + many short) — the dense path's
     # worst case (pads everything to 2048)
     h, h_k, d, page = 32, 8, 128, 256
-    rng = np.random.default_rng(0)
-    lens_q = [2048] + [int(x) for x in rng.integers(64, 512, size=15)]
-    lens_k = [lq + int(x) for lq, x in
-              zip(lens_q, rng.integers(0, 2048, size=16))]
     b = len(lens_q)
     cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens_q)]), jnp.int32)
     total_q = int(cu[-1])
@@ -62,16 +58,37 @@ def main():
     packed = lambda q, kp, vp: flash_attention_varlen_paged_fwd(
         q, kp, vp, cu, mxq, seqk, table, causal=True)[0]
     t = bench.bench_device_loop(packed, q, kp, vp, N=30)
-    print(f"packed persistent: {useful/t/1e12:.2f} TF/s-useful "
-          f"({t*1e3:.3f} ms)")
+    print(f"[{label}] packed persistent: {useful/t/1e12:.2f} TF/s-useful "
+          f"({t*1e3:.3f} ms)", flush=True)
 
-    dense = lambda q, kp, vp: _varlen_paged_fwd_dense(
-        q, kp, vp, cu, mxq, table, seqk, softmax_scale=None, causal=True,
-        window_size=(None, None), softcap=0.0, q_descale=None,
-        k_descale=None, v_descale=None, return_attn_probs=False)
-    t = bench.bench_device_loop(dense, q, kp, vp, N=30)
-    print(f"dense-padded (r4): {useful/t/1e12:.2f} TF/s-useful "
-          f"({t*1e3:.3f} ms)")
+    if skip_dense:
+        return
+    try:
+        dense = lambda q, kp, vp: _varlen_paged_fwd_dense(
+            q, kp, vp, cu, mxq, table, seqk, softmax_scale=None, causal=True,
+            window_size=(None, None), softcap=0.0, q_descale=None,
+            k_descale=None, v_descale=None, return_attn_probs=False)
+        t = bench.bench_device_loop(dense, q, kp, vp, N=30)
+        print(f"[{label}] dense-padded (r4): {useful/t/1e12:.2f} "
+              f"TF/s-useful ({t*1e3:.3f} ms)", flush=True)
+    except Exception as e:
+        print(f"[{label}] dense-padded (r4): FAILED "
+              f"{type(e).__name__}: {str(e)[-180:]}", flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    # skewed: one long chunk + many short, long caches — the dense path's
+    # worst case (measured round 5: it VMEM-OOMs here, 151.9M > 128M)
+    lens_q = [2048] + [int(x) for x in rng.integers(64, 512, size=15)]
+    lens_k = [lq + int(x) for lq, x in
+              zip(lens_q, rng.integers(0, 2048, size=16))]
+    run_cfg(lens_q, lens_k, "skewed")
+    # milder: uniform chunks, both paths run — the direct ratio
+    lens_q = [int(x) for x in rng.integers(256, 1025, size=16)]
+    lens_k = [lq + int(x) for lq, x in
+              zip(lens_q, rng.integers(0, 1024, size=16))]
+    run_cfg(lens_q, lens_k, "uniform")
 
 
 if __name__ == "__main__":

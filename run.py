@@ -97,7 +97,8 @@ def build(cfg: Dict[str, Any]):
 
 
 def make_dataloader(cfg: Dict[str, Any], train_cfg, path_key="path"):
-    from flash_attn_tpu.training.data import LMDataLoader, TokenDataset
+    from flash_attn_tpu.training.data import (FaultTolerantSampler,
+                                              LMDataLoader, TokenDataset)
 
     data = cfg.get("data", {})
     path = data.get(path_key)
@@ -116,7 +117,8 @@ def make_dataloader(cfg: Dict[str, Any], train_cfg, path_key="path"):
         return synthetic()
     ds = TokenDataset(path, dtype=np.dtype(data.get("dtype", "uint16")),
                       seqlen=train_cfg.seqlen)
-    return LMDataLoader(ds, train_cfg.batch_size, seed=data.get("seed", 0))
+    sampler = FaultTolerantSampler(len(ds), seed=data.get("seed", 0))
+    return LMDataLoader(ds, train_cfg.batch_size, sampler=sampler)
 
 
 def main(argv=None):
