@@ -39,7 +39,7 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
                  window_left, window_right, attention_chunk,
                  sink_token_length, seqlen_k, shift, slope,
                  score_mod=None, mask_mod=None, b_idx=None, h_idx=None,
-                 aux=(), masked=None, mask_bias=None):
+                 aux=(), masked=None):
     """Recompute the masked base-2 score block s2 (block_q, block_k) exactly
     as the forward kernel built it. Returns (s2, ds_chain) where
     ds_chain(ds) -> (ds_raw, daux): dL/d(raw scaled scores) plus this tile's
@@ -51,13 +51,7 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
     default); False -> the caller statically guarantees every element of
     this tile is valid, skip all mask VPU work (interior-tile fast path,
     the reference tile-scheduler's "no-mask specialization"); True ->
-    force the mask block.
-
-    ``mask_bias``: precomputed additive {0, -inf} tile (the bandmask fast
-    path, dispatch/bandmask.py) — replaces the whole compare+select mask
-    block with one VPU add. Masked positions give p = exp2(-inf) = 0, so
-    ds there is 0 and the dtanh/score_mod vjp zeroing the general path
-    performs is unnecessary."""
+    force the mask block."""
     plain = softcap == 0.0 and score_mod is None
     s_raw = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -106,8 +100,6 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
             bias = -jnp.abs(rows + shift - cols).astype(jnp.float32)
         s2 = s2 + slope * LOG2E * bias
 
-    if mask_bias is not None:
-        s2 = s2 + mask_bias
         needs_mask = False
     else:
         needs_mask = (

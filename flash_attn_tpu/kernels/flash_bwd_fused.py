@@ -42,7 +42,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.band import PackedBand, kv_band_static
-from flash_attn_tpu.dispatch.bandmask import BandMaskCfg, band_mask_config
 from flash_attn_tpu.dispatch.config import get_bwd_config, normalize_window
 from flash_attn_tpu.kernels.dropout_rng import dropout_keep
 from flash_attn_tpu.kernels.flash_bwd import _scores_log2, _next_pow2
@@ -69,11 +68,10 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
                       dropout_p, num_heads, score_mod, mask_mod,
                       dq_dtype, dk_dtype, dv_dtype, num_aux, num_batch,
                       num_kv_heads, bshd, hf=1, head_dim=None,
-                      head_dim_v=None, bmask: Optional[BandMaskCfg] = None):
+                      head_dim_v=None):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
     slopes_ref = refs.pop(0) if has_alibi else None
-    bmask_ref = refs.pop(0) if bmask is not None else None
     aux = tuple(refs.pop(0)[...] for _ in range(num_aux))
     (q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
      dq_ref, dk_hbm, dv_hbm, *rest) = refs
@@ -149,13 +147,6 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         k_all = jnp.where(cv < seqlen_k, k_all, 0)
         v_all = jnp.where(cv < seqlen_k, v_all, 0)
 
-    if bmask is not None:
-        # One-pass additive band mask (dispatch/bandmask.py): slice of the
-        # VMEM-resident {0,-inf} matrix at a 128-aligned dynamic offset.
-        o = pl.multiple_of(bmask.offset(i, n), 128)
-        mask_bias = bmask_ref[:, pl.ds(o, block_k)]
-    else:
-        mask_bias = None
 
     d_h = head_dim if head_dim is not None else q_all.shape[-1]
     dv_h = head_dim_v if head_dim_v is not None else do_all.shape[-1]
@@ -183,7 +174,7 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
             sink_token_length=sink_token_length,
             seqlen_k=seqlen_k, shift=shift, slope=slope,
             score_mod=score_mod, mask_mod=mask_mod, b_idx=b_idx,
-            h_idx=h_cur, aux=aux, masked=masked, mask_bias=mask_bias,
+            h_idx=h_cur, aux=aux, masked=masked,
         )
         lse2_safe = jnp.where(lse2 == NEG_INF, 0.0, lse2)
         p = jnp.exp2(s2 - lse2_safe)          # (bq, bk); masked -> 0
@@ -383,11 +374,6 @@ def flash_attention_bwd_fused(
             sink_token_length, attention_chunk,
         )
     band = PackedBand(jmin_s, jmax_s)
-    bmask = band_mask_config(
-        causal=causal, window_left=window_left, window_right=window_right,
-        attention_chunk=attention_chunk, mask_mod=mask_mod, shift=shift,
-        seqlen_k=sk, block_q=bq, block_k=bk, j_min=jmin_s, j_max=jmax_s,
-    )
 
     # Preprocess: delta = rowsum(dO * O) (fp32) — the reference's
     # flash_bwd_preprocess_kernel as a fused XLA reduction. (b, sq, h) ->
@@ -413,10 +399,6 @@ def flash_attention_bwd_fused(
             (b, h), amap(lambda b_, hk, g, i, n: (0, 0)),
             memory_space=pltpu.SMEM))
         inputs.append(alibi_slopes.astype(jnp.float32))
-    if bmask is not None:
-        in_specs.append(pl.BlockSpec(
-            (bq, bmask.width), amap(lambda b_, hk, g, i, n: (0, 0))))
-        inputs.append(bmask.build())
     aux_tensors = tuple(aux_tensors) if aux_tensors else ()
     for ax in aux_tensors:
         nd = ax.ndim
@@ -491,7 +473,7 @@ def flash_attention_bwd_fused(
         num_heads=h, score_mod=score_mod, mask_mod=mask_mod,
         dq_dtype=q.dtype, dk_dtype=jnp.float32, dv_dtype=jnp.float32,
         num_aux=len(aux_tensors), num_batch=b, num_kv_heads=n_hkb,
-        bshd=bshd, hf=hf, head_dim=d, head_dim_v=dv_dim, bmask=bmask,
+        bshd=bshd, hf=hf, head_dim=d, head_dim_v=dv_dim,
     )
 
     daux_out_specs = [

@@ -33,7 +33,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.dispatch.band import PackedBand, kv_band_static
-from flash_attn_tpu.dispatch.bandmask import BandMaskCfg, band_mask_config
 from flash_attn_tpu.dispatch.config import (
     get_fwd_config,
     normalize_window,
@@ -84,7 +83,6 @@ def _fwd_kernel(
     out_dtype,
     band: Optional[PackedBand] = None,
     num_aux: int = 0,
-    bmask: Optional[BandMaskCfg] = None,
     init_partial: bool = False,
 ):
     refs = list(refs)
@@ -93,7 +91,6 @@ def _fwd_kernel(
     sink_ref = refs.pop(0) if has_sink else None
     descale_ref = refs.pop(0) if has_descale else None  # (3, b, h_k) SMEM
     qv_ref = refs.pop(0) if has_qv else None  # (1,1,bq,dv) extra query
-    bmask_ref = refs.pop(0) if bmask is not None else None  # (bq, bq+2bk)
     # flex-attention aux tensors (reference cute/interface.py aux_tensors):
     # whole arrays in VMEM, handed to score_mod/mask_mod as jnp values.
     aux = tuple(refs.pop(0)[...] for _ in range(num_aux))
@@ -253,15 +250,7 @@ def _fwd_kernel(
                 bias = -jnp.abs(rows + shift - cols).astype(jnp.float32)
             s2 = s2 + slope * LOG2E * bias
 
-        if bmask is not None:
-            # One-VPU-pass mask: add the column-shifted slice of the
-            # resident additive band matrix (dispatch/bandmask.py) — full
-            # tiles hit the all-zero head, diagonal tiles get -inf above
-            # the band. Replaces the compare+select below (2 passes) on
-            # the causal/right-window hot path.
-            o = pl.multiple_of(bmask.offset(i, j), 128)
-            s2 = s2 + bmask_ref[:, pl.ds(o, block_k)]
-        elif needs_col_mask:
+        if needs_col_mask:
             def _apply_mask(s2):
                 # Vector iotas, (bq,1) rows / (1,bk) cols: each mask term is
                 # ONE broadcast compare on the (bq,bk) tile instead of the
@@ -511,15 +500,6 @@ def flash_attention_fwd(
         if cand.num_tiles < nq * nk:
             band = cand
 
-    # Additive band-mask fast path (dispatch/bandmask.py): one VPU add per
-    # tile instead of compare+select when the only column mask is the
-    # causal/right-window edge.
-    bmask = band_mask_config(
-        causal=causal, window_left=window_left, window_right=window_right,
-        attention_chunk=attention_chunk, mask_mod=mask_mod, shift=shift,
-        seqlen_k=sk, block_q=bq, block_k=bk, j_min=jmin_s, j_max=jmax_s,
-    )
-
     if band is None:
         def i_of(i, j):
             return i
@@ -596,13 +576,6 @@ def flash_attention_fwd(
             pl.BlockSpec((1, 1, bq, dv),
                          amap(lambda b_, h_, i, j: (b_, h_, i, 0))))
         inputs.append(qv)
-    if bmask is not None:
-        # Resident additive mask: full-array block with a constant index
-        # map — DMA'd into VMEM once, revisited every iteration for free.
-        mshape = (bq, bmask.width)
-        in_specs.append(pl.BlockSpec(
-            mshape, amap(lambda b_, h_, i, j: (0, 0))))
-        inputs.append(bmask.build())
     aux_tensors = tuple(aux_tensors) if aux_tensors else ()
     for ax in aux_tensors:
         # Whole aux array resident in VMEM for every grid step (flex
@@ -651,7 +624,6 @@ def flash_attention_fwd(
         out_dtype=jnp.bfloat16 if has_descale else q.dtype,
         band=band,
         num_aux=len(aux_tensors),
-        bmask=bmask,
         init_partial=init_partial is not None,
     )
 
@@ -659,8 +631,7 @@ def flash_attention_fwd(
     log_kernel_launch(
         "flash_fwd", grid=grid,
         blocks={"q": (bq, d), "kv": (bk, d)},
-        causal=causal, seqlen_q=sq, seqlen_k=sk, heads=h, dtype=q.dtype,
-        bandmask=bmask is not None)
+        causal=causal, seqlen_q=sq, seqlen_k=sk, heads=h, dtype=q.dtype)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -681,13 +652,9 @@ def flash_attention_fwd(
             dimension_semantics=(
                 ("parallel", "parallel", "arbitrary") if band is not None
                 else ("parallel", "parallel", "parallel", "arbitrary")),
-            # the resident additive band mask and the (bq, bk) fp32 score
-            # temporaries ride in scoped VMEM; the default 16 MiB limit
-            # rejects larger tiles (v5e has ~128 MiB)
             # 2 concurrently-live (bq, bk) fp32 temps (scores + exp),
             # measured 16.64M at (2048, 1024) — r2_session.log
-            vmem_limit_bytes=(100 * 1024 * 1024 if bmask is not None
-                              else scoped_vmem_limit(bq, bk, 2)),
+            vmem_limit_bytes=scoped_vmem_limit(bq, bk, 2),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * sq * sk * (d + dv) // (2 if causal else 1),

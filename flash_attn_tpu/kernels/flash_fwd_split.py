@@ -217,7 +217,7 @@ def _diag_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, *,
     causal mask is the CONSTANT lower triangle on register-resident
     iotas — a VMEM-resident additive mask tile was measured SLOWER
     (3.44 vs 3.27 ms at seq8k: the mask-slice add is a genuine
-    VMEM->vreg pass, the same finding as dispatch/bandmask.py). A single
+    VMEM->vreg pass, the same finding as the removed bandmask probe — DESIGN.md). A single
     tile is a complete softmax — no online carries. The merge with the
     bulk pass happens INSIDE the bulk kernel (init-from-partial seeding,
     flash_fwd.py _init): this kernel reads q/k/v and writes out/lse
