@@ -129,6 +129,7 @@ class InferenceEngine:
         # it. _pending = (ys_device, slot->request snapshot at dispatch).
         self._pending: Optional[Tuple[jax.Array, List[Optional[Request]]]] \
             = None
+        self._table_dev = None  # device copy of pool.table (see _table)
 
         # The jitted step closures capture LOCALS, never `self`: a closure
         # over `self` creates a reference cycle (self -> jitted fn -> cell ->
@@ -226,6 +227,7 @@ class InferenceEngine:
         if self.pool is not None:
             for slot in list(self.pool.pages_of):
                 self.pool.release(slot)
+            self._table_dev = None
         self.queue.clear()
         self.requests.clear()
         self._pending = None
@@ -270,7 +272,14 @@ class InferenceEngine:
         self.cache = jax.tree_util.tree_map_with_path(fix, self.cache)
 
     def _table(self):
-        return None if self.pool is None else jnp.asarray(self.pool.table)
+        # device table cached between admission/release events: a fresh
+        # jnp.asarray per step costs a host->device upload on the decode
+        # critical path
+        if self.pool is None:
+            return None
+        if self._table_dev is None:
+            self._table_dev = jnp.asarray(self.pool.table)
+        return self._table_dev
 
     def _init_cache(self):
         # allocate the cache collection by tracing a B-batch prefill
@@ -321,6 +330,7 @@ class InferenceEngine:
             free.pop(0)
             self.queue.popleft()
             admit.append((slot, req))
+            self._table_dev = None
         if admit:
             rows = len(admit)
             max_len = max(len(r.prompt) for _, r in admit)
@@ -402,11 +412,16 @@ class InferenceEngine:
                     self.slot_new[slot] += 1
                     emitted.append((req.req_id, tok))
                     self._maybe_finish(slot, req, tok, defer=finished)
-            for slot in finished:
-                self.slots[slot] = None
-                if self.pool is not None:
-                    self.pool.release(slot)
-            self._set_inactive_offsets_zero()
+            if finished:
+                for slot in finished:
+                    self.slots[slot] = None
+                    if self.pool is not None:
+                        self.pool.release(slot)
+                        self._table_dev = None
+                # offsets of freed slots reset before any reuse; skipping
+                # this on finish-free steps keeps the ~16 tiny per-leaf
+                # dispatches off the steady-state decode path
+                self._set_inactive_offsets_zero()
         self._pending = new_pending
         return emitted
 
@@ -421,6 +436,7 @@ class InferenceEngine:
             self.slots[slot] = None
             if self.pool is not None:
                 self.pool.release(slot)
+                self._table_dev = None
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Run until queue + slots drain; returns {req_id: generated}."""
