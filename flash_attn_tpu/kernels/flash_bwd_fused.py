@@ -67,8 +67,8 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
                       attention_chunk, sink_token_length, has_alibi,
                       dropout_p, num_heads, score_mod, mask_mod,
                       dq_dtype, dk_dtype, dv_dtype, num_aux, num_batch,
-                      num_kv_heads, bshd, hf=1, head_dim=None,
-                      head_dim_v=None):
+                      num_kv_heads, bshd, hf=1, gq=1, group_eff=1,
+                      head_dim=None, head_dim_v=None):
     refs = list(refs)
     seed_ref = refs.pop(0) if dropout_p > 0.0 else None
     slopes_ref = refs.pop(0) if has_alibi else None
@@ -89,12 +89,15 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
     hk_idx = pl.program_id(1)   # kv-head BLOCK index when hf > 1
     g = pl.program_id(2)
     t = pl.program_id(3)
-    h_idx = hk_idx * group + g  # hf > 1 implies group == 1 (see wrapper)
+    # hf > 1 implies group == 1; gq > 1 folds the GQA group in-kernel
+    # (grid g then ranges over group_eff = group // gq)
+    h_idx = hk_idx * group + g * gq
     shift = seqlen_k - seqlen_q
 
     i, n, t_first, t_last = band.decode(t)
     seg_first = jnp.logical_and(g == 0, t == 0)
-    seg_last = jnp.logical_and(g == group - 1, t == band.num_tiles - 1)
+    seg_last = jnp.logical_and(g == group_eff - 1,
+                               t == band.num_tiles - 1)
     grid_first = jnp.logical_and(jnp.logical_and(b_idx == 0, hk_idx == 0),
                                  seg_first)
     grid_last = jnp.logical_and(
@@ -160,9 +163,14 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
             do = do_all[:, hh * dv_h:(hh + 1) * dv_h]
             k = k_all[:, hh * d_h:(hh + 1) * d_h]
             v = v_all[:, hh * dv_h:(hh + 1) * dv_h]
+        elif gq > 1:
+            # group folding: per-q-head slices against the SHARED kv head
+            q = q_all[:, hh * d_h:(hh + 1) * d_h]
+            do = do_all[:, hh * dv_h:(hh + 1) * dv_h]
+            k, v = k_all, v_all
         else:
             q, do, k, v = q_all, do_all, k_all, v_all
-        h_cur = h_idx * hf + hh if hf > 1 else h_idx
+        h_cur = hk_idx * hf + hh if hf > 1 else h_idx + hh
         lse2 = lse_ref[0, hh, 0].reshape(block_q, 1) * LOG2E
         delta = delta_ref[0, hh, 0].reshape(block_q, 1)
         slope = slopes_ref[b_idx, h_cur] if has_alibi else None
@@ -226,13 +234,14 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
         # the lane axis must be the 128-aligned KV-sequence axis (d=64
         # blocks are not sliceable on lanes).
         off = n * block_k
+        kvh = hh if hf > 1 else 0
         if bshd:
-            dv_all[pl.ds(off, block_k), pl.ds(hh * dv_h, dv_h)] += (
+            dv_all[pl.ds(off, block_k), pl.ds(kvh * dv_h, dv_h)] += (
                 jax.lax.dot_general(
                     p_lo, do, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ))
-            dk_all[pl.ds(off, block_k), pl.ds(hh * d_h, d_h)] += (
+            dk_all[pl.ds(off, block_k), pl.ds(kvh * d_h, d_h)] += (
                 jax.lax.dot_general(
                     ds_lo, q, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -248,7 +257,7 @@ def _bwd_fused_kernel(*refs, band: PackedBand, block_q, block_k, seqlen_q,
             )
 
     def tile_body(masked):
-        for hh in range(hf):
+        for hh in range(max(hf, gq)):
             head_body(hh, masked)
 
     # NOTE an interior-tile fast path (pl.when(is_full) -> mask-free
@@ -423,20 +432,34 @@ def flash_attention_bwd_fused(
         while (hf < h_k and h_k % (hf * 2) == 0 and hf < hf_cap
                and fits_vmem(sk_pad, (hf * 2) * d, (hf * 2) * dv_dim, bq)):
             hf *= 2
+    # GQA group folding (round 5, the hf analogue for group > 1): one grid
+    # step covers the whole group of one kv head — K/V blocks load once,
+    # dK/dV accumulate once, and segments shrink by group (the r4 seq4k
+    # fixed-cost fix, extended to GQA as VERDICT r4 #3 asked).
+    gq = 1
+    if (bshd and group > 1 and dropout_p == 0.0 and group <= 16
+            and fits_vmem(sk_pad, d, dv_dim, bq)):
+        import os as _os
+        if _os.environ.get("FA_BWD_FOLD_GROUP", "1") == "1":
+            gq = group
+    group_eff = group // gq
+    wq = max(hf, gq)  # q-side head fold width
     n_hkb = h_k // hf
     lse_spec = pl.BlockSpec(
-        (1, hf, 1, bq),
-        amap(lambda b_, hk, g, i, n: (b_, hk * group + g, 0, i)))
+        (1, wq, 1, bq),
+        amap(lambda b_, hk, g, i, n: (b_, hk * group_eff + g, 0, i)))
     if bshd:
         q_in = q.reshape(b, sq, h * d)
         do_in = do.reshape(b, sq, h * dv_dim)
         k_in = k.reshape(b, sk, h_k * d)
         v_in = v.reshape(b, sk, h_k * dv_dim)
         in_specs += [
-            pl.BlockSpec((1, bq, hf * d),
-                         amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g))),
-            pl.BlockSpec((1, bq, hf * dv_dim),
-                         amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g))),
+            pl.BlockSpec((1, bq, wq * d),
+                         amap(lambda b_, hk, g, i, n:
+                              (b_, i, hk * group_eff + g))),
+            pl.BlockSpec((1, bq, wq * dv_dim),
+                         amap(lambda b_, hk, g, i, n:
+                              (b_, i, hk * group_eff + g))),
             lse_spec,
             lse_spec,
             pl.BlockSpec((1, bk, hf * d),
@@ -460,7 +483,7 @@ def flash_attention_bwd_fused(
                          amap(lambda b_, hk, g, i, n: (b_, hk, n, 0))),
         ]
     inputs += [q_in, do_in, lse, delta, k_in, v_in]
-    grid = (b, n_hkb, group, band.num_tiles)
+    grid = (b, n_hkb, group_eff, band.num_tiles)
 
     kernel = functools.partial(
         _bwd_fused_kernel,
@@ -473,7 +496,8 @@ def flash_attention_bwd_fused(
         num_heads=h, score_mod=score_mod, mask_mod=mask_mod,
         dq_dtype=q.dtype, dk_dtype=jnp.float32, dv_dtype=jnp.float32,
         num_aux=len(aux_tensors), num_batch=b, num_kv_heads=n_hkb,
-        bshd=bshd, hf=hf, head_dim=d, head_dim_v=dv_dim,
+        bshd=bshd, hf=hf, gq=gq, group_eff=group_eff,
+        head_dim=d, head_dim_v=dv_dim,
     )
 
     daux_out_specs = [
@@ -486,15 +510,15 @@ def flash_attention_bwd_fused(
 
     if bshd:
         dq_spec = pl.BlockSpec(
-            (1, bq, hf * d),
-            amap(lambda b_, hk, g, i, n: (b_, i, hk * group + g)))
+            (1, bq, wq * d),
+            amap(lambda b_, hk, g, i, n: (b_, i, hk * group_eff + g)))
         dq_shape = jax.ShapeDtypeStruct((b, sq, h * d), q.dtype)
         dkv_shapes = [
             jax.ShapeDtypeStruct((b, sk_pad, h_k * d), k.dtype),
             jax.ShapeDtypeStruct((b, sk_pad, h_k * dv_dim), v.dtype),
         ]
         acc_scratch = [
-            pltpu.VMEM((bq, hf * d), jnp.float32),      # dq row accumulator
+            pltpu.VMEM((bq, wq * d), jnp.float32),      # dq row accumulator
             pltpu.VMEM((sk_pad, hf * d), jnp.float32),  # dk full-KV seq-major
             pltpu.VMEM((sk_pad, hf * dv_dim), jnp.float32),  # dv full-KV
             pltpu.VMEM((sk_pad, hf * d), k.dtype),      # dk cast staging
@@ -521,7 +545,8 @@ def flash_attention_bwd_fused(
     log_kernel_launch(
         "flash_bwd_fused", grid=grid,
         blocks={"q": (bq, d), "kv": (bk, d)},
-        causal=causal, bshd=bshd, fold_heads=hf, seqlen_q=sq, seqlen_k=sk,
+        causal=causal, bshd=bshd, fold_heads=hf, fold_group=gq,
+        seqlen_q=sq, seqlen_k=sk,
         acc_vmem_bytes=4 * sk_pad * hf * (d + dv_dim), dtype=q.dtype)
 
     dq, dk, dv, *daux = pl.pallas_call(

@@ -389,6 +389,13 @@ class InferenceEngine:
                         jnp.asarray(self.slot_tok[idx]))
             ys, self.cache, self.rng = self._decode_block_fn(
                 self.params, self.cache, toks, self.rng, self._table())
+            # start the device->host copy NOW: it fires as soon as the
+            # block completes, so next step's np.asarray finds the tokens
+            # already on the host instead of paying the fetch roundtrip
+            try:
+                ys.copy_to_host_async()
+            except AttributeError:  # non-jax array backends
+                pass
             new_pending = (ys, list(self.slots))
 
         # ---- process the PREVIOUS block: its fetch overlaps the block
