@@ -100,13 +100,11 @@ def _scores_log2(q, k, i, j, block_q, block_k, *, scale, softcap, causal,
             bias = -jnp.abs(rows + shift - cols).astype(jnp.float32)
         s2 = s2 + slope * LOG2E * bias
 
-        needs_mask = False
-    else:
-        needs_mask = (
-            causal or window_right is not None or window_left is not None
-            or attention_chunk > 0 or (seqlen_k % block_k != 0)
-            or mask_mod is not None
-        ) if masked is None else masked
+    needs_mask = (
+        causal or window_right is not None or window_left is not None
+        or attention_chunk > 0 or (seqlen_k % block_k != 0)
+        or mask_mod is not None
+    ) if masked is None else masked
     if needs_mask:
         valid = None
 
