@@ -52,8 +52,12 @@ def pytest_configure(config):
 # represents. Matching is per (module basename, substring-of-test-name);
 # a bare module name marks the whole module.
 _SLOW = {
-    "test_hdim_breadth.py": [""],  # breadth sweep module (hdim 128 is the
-    # smoke-covered hot path everywhere else)
+    # breadth sweep module (hdim 128 is the smoke-covered hot path
+    # everywhere else) — EXCEPT the feature-crossing tests, which caught a
+    # round-5 ALiBi-bwd mask regression the rest of the suite missed
+    "test_hdim_breadth.py": ["test_hdim_fwd", "test_hdim_bwd",
+                             "test_fp16_fwd_bwd", "test_hdim_v_neq_hdim_qk",
+                             "test_long_cross_seqlen_causal_bwd"],
     "test_training.py": ["test_train_steps_and_resume",
                          "test_zero2_matches_baseline",
                          "test_loss_scaler_skips_overflow_and_grows",
