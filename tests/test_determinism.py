@@ -88,3 +88,38 @@ def test_split_path_bitwise_deterministic():
         np.testing.assert_array_equal(np.asarray(f(q, k, v)), out0)
         for got, want in zip(grad(q, k, v), d0):
             np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_paged_prefill_bitwise_deterministic():
+    """The packed persistent paged-prefill kernel (round 5) re-runs
+    bitwise identical — the precomputed flat schedule has no dynamic work
+    stealing (the reference's race-condition test class,
+    tests/test_flash_attn.py:2199)."""
+    from flash_attn_tpu.kernels.flash_varlen_paged import (
+        flash_attention_varlen_paged_fwd,
+    )
+
+    rng = np.random.default_rng(5)
+    lens_q, lens_k, h, hk, d, page = [100, 200], [150, 250], 4, 2, 64, 64
+    b = len(lens_q)
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens_q)]), jnp.int32)
+    tq = int(cu[-1])
+    q = jnp.asarray(rng.standard_normal((tq, h, d)), jnp.float32)
+    maxpg = max(-(-lk // page) for lk in lens_k)
+    kp = jnp.asarray(rng.standard_normal((b * maxpg + 1, hk, page, d)),
+                     jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b * maxpg + 1, hk, page, d)),
+                     jnp.float32)
+    table = np.zeros((b, maxpg), np.int32)
+    n = 1
+    for s_, lk in enumerate(lens_k):
+        for j in range(-(-lk // page)):
+            table[s_, j] = n
+            n += 1
+    f = jax.jit(lambda q, kp, vp: flash_attention_varlen_paged_fwd(
+        q, kp, vp, cu, max(lens_q), jnp.asarray(lens_k, jnp.int32),
+        jnp.asarray(table), causal=True, block_q=128, block_k=128,
+        interpret=True)[0])
+    out0 = np.asarray(f(q, kp, vp))
+    for _ in range(REPEATS):
+        np.testing.assert_array_equal(np.asarray(f(q, kp, vp)), out0)
