@@ -73,3 +73,32 @@ def test_grad_through_vmap():
     ref0 = flash_attn_func(q[1], q[1], q[1], causal=True)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref0),
                                atol=1e-6)
+
+
+def test_jax_export_roundtrip_varlen_persistent():
+    """The persistent flat-walk varlen forward (round 5: manual DMA walk,
+    scalar-prefetch schedule) must also survive jax.export — serving
+    deployments export the prefill step."""
+    from jax import export
+
+    from flash_attn_tpu import flash_attn_varlen_func
+
+    total, h, d = 384, 2, 64
+    cu = jnp.asarray([0, 200, 384], jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (total, h, d)
+                          ).astype(jnp.bfloat16)
+
+    fn = jax.jit(lambda q, k, v, cu: flash_attn_varlen_func(
+        q, k, v, cu, cu, 200, 200, causal=True))
+    exp = export.export(fn)(
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(cu.shape, cu.dtype),
+    )
+    rehydrated = export.deserialize(exp.serialize())
+    out = rehydrated.call(q, q, q, cu)
+    direct = fn(q, q, q, cu)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(direct, np.float32),
+                               atol=1e-5, rtol=1e-5)
