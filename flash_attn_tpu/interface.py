@@ -453,7 +453,7 @@ def flash_attn_varlen_func(
             window_size=window_size, softcap=softcap,
             q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
             return_attn_probs=return_attn_probs, qv=qv,
-            learnable_sink=learnable_sink,
+            learnable_sink=learnable_sink, seqused_q=seqused_q,
         )
     dropout_seed = None
     if dropout_p > 0.0:
@@ -499,7 +499,8 @@ def flash_attn_varlen_func(
 def _varlen_paged_fwd(q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q,
                       block_table, seqlens_k, *, softmax_scale, causal,
                       window_size, softcap, q_descale, k_descale, v_descale,
-                      return_attn_probs, qv=None, learnable_sink=None):
+                      return_attn_probs, qv=None, learnable_sink=None,
+                      seqused_q=None):
     """Packed-varlen chunked prefill against the paged cache via the
     persistent flat-walk kernel (kernels/flash_varlen_paged.py) — no
     pad-to-max gather (the round-4 dense front end paid full padding tax
@@ -533,6 +534,7 @@ def _varlen_paged_fwd(q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q,
     out, lse = flash_attention_varlen_paged_fwd(
         q, k_cache, v_cache, cu_seqlens_q, int(max_seqlen_q),
         jnp.asarray(seqlens_k, jnp.int32), block_table,
+        seqused_q=seqused_q,
         q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
         learnable_sink=learnable_sink, softmax_scale=softmax_scale,
         causal=causal, window_size=normalize_window(tuple(window_size)),

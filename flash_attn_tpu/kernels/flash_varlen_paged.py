@@ -339,6 +339,9 @@ def flash_attention_varlen_paged_fwd(
     max_seqlen_q: int,
     seqlens_k,    # (b,) total kv length per sequence (incl. the chunk)
     block_table,  # (b, max_pages)
+    seqused_q=None,  # (b,) true per-seq q length when cu marks a PADDED
+    # layout (padded-flat chunked prefill: cu = arange(b+1)*s_pad); rows
+    # past seqused mask out and the causal shift uses the true length
     q_descale=None,  # (b, h_k)
     k_descale=None,
     v_descale=None,
@@ -373,9 +376,13 @@ def flash_attention_varlen_paged_fwd(
     ppt = bk // page_size
 
     # ---- per-sequence bq-aligned packed q layout ----
-    lens_q = (cu_seqlens_q[1:] - cu_seqlens_q[:-1]).astype(jnp.int32)
+    # addressing/tiling uses the cu layout; masking + the bottom-right
+    # causal shift use the TRUE lengths (seqused_q) when provided
+    lens_q_addr = (cu_seqlens_q[1:] - cu_seqlens_q[:-1]).astype(jnp.int32)
+    lens_q = (lens_q_addr if seqused_q is None
+              else jnp.asarray(seqused_q, jnp.int32))
     lens_k = jnp.asarray(seqlens_k, jnp.int32)
-    ntiles = (lens_q + bq - 1) // bq
+    ntiles = (lens_q_addr + bq - 1) // bq
     # static upper bound on aligned tiles (shape must be static)
     nq = int(b * ((int(max_seqlen_q) + bq - 1) // bq))
     atile = jnp.concatenate(

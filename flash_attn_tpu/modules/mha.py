@@ -138,6 +138,11 @@ class MHA(nn.Module):
         slot_ids=None,          # (b,) cache rows for continuous batching
         prefill_lengths=None,   # (b,) true prompt lengths (padded prefill)
         block_table=None,       # (b, max_pages) for the paged decode cache
+        prefix_lengths=None,    # (b,) cached-prefix length per row: the
+        # prompt's first prefix_lengths[i] tokens already sit in this
+        # slot's (shared) pages and x carries ONLY the suffix — chunked
+        # prefill writes at offset prefix and attends the whole cache
+        # through the packed paged-varlen kernel (prefix caching)
     ):
         decode = mode == "decode"
         prefill = mode == "prefill"
@@ -289,6 +294,67 @@ class MHA(nn.Module):
                 vcache.value = v_new
                 offset.value = offset.value + s
                 ctx = out
+            elif prefill and prefix_lengths is not None:
+                # ---- prefix-cached chunked prefill (paged cache only) ----
+                assert paged and block_table is not None, \
+                    "prefix_lengths requires a paged cache + block_table"
+                assert not self.dwconv, "prefix caching x dwconv unsupported"
+                from flash_attn_tpu.cache.kvcache import kv_cache_update
+                pref = prefix_lengths.astype(jnp.int32)
+                lengths = (jnp.full((b,), s, jnp.int32)
+                           if prefill_lengths is None
+                           else prefill_lengths.astype(jnp.int32))
+                if rope is not None:
+                    cos, sin = rope.cos_sin(self.max_decode_seqlen)
+                    q = apply_rotary_emb(q, cos, sin,
+                                         self.rotary_emb_interleaved,
+                                         seqlen_offsets=pref)
+                    k = apply_rotary_emb(k, cos, sin,
+                                         self.rotary_emb_interleaved,
+                                         seqlen_offsets=pref)
+                shape = (self.paged_kv_num_pages, h_k,
+                         self.paged_kv_page_size, d)
+                kcache = self.variable(
+                    "cache", "k", lambda: jnp.zeros(shape, cache_dtype))
+                vcache = self.variable(
+                    "cache", "v", lambda: jnp.zeros(shape, cache_dtype))
+                n_slots = block_table.shape[0]
+                offset = self.variable(
+                    "cache", "offset",
+                    lambda: jnp.zeros((n_slots,), jnp.int32))
+                bt = (block_table if slot_ids is None
+                      else block_table[slot_ids])
+                k_st, v_st = k, v
+                if quant and self.kv_cache_scale != 1.0:
+                    k_st = k / self.kv_cache_scale
+                    v_st = v / self.kv_cache_scale
+                # suffix KV written at offset prefix (shared prefix pages
+                # are read-only by construction: only FULL pages are ever
+                # shared, and appends land at offsets past them)
+                k_new, v_new = kv_cache_update(
+                    kcache.value, vcache.value, k_st, v_st, pref,
+                    block_table=bt, new_lengths=lengths)
+                kcache.value = k_new
+                vcache.value = v_new
+                total_k = pref + lengths
+                if slot_ids is None:
+                    offset.value = total_k
+                else:
+                    offset.value = offset.value.at[slot_ids].set(total_k)
+                # attend over [0, prefix + len) through the packed
+                # paged-varlen kernel (padded-flat layout + seqused_q)
+                kd, vd = _descales(b)
+                qp = q.reshape(b * s, h, d)
+                cu_pad = jnp.arange(b + 1, dtype=jnp.int32) * s
+                ctx = flash_attn_varlen_func(
+                    qp, k_new, v_new, cu_pad, None, s,
+                    int(self.max_decode_seqlen), causal=self.causal,
+                    window_size=self.window_size, softcap=self.softcap,
+                    softmax_scale=self.softmax_scale,
+                    block_table=bt, seqused_k=total_k, seqused_q=lengths,
+                    k_descale=kd, v_descale=vd,
+                )
+                ctx = ctx.reshape(b, s, h * d)
             else:
                 if rope is not None:
                     cos, sin = rope.cos_sin(

@@ -53,6 +53,28 @@ class PagePool:
         self.free = list(range(1, num_pages))  # page 0 = null page
         self.table = np.zeros((max_batch, max_pages_per_seq), np.int32)
         self.pages_of: Dict[int, List[int]] = {}
+        # Prefix-caching support (round 5): shared pages are refcounted;
+        # pages whose refcount drops to zero but that back a registered
+        # prefix are RETAINED (insertion-ordered dict = LRU) instead of
+        # freed, and reclaimed lazily under pool pressure via evict_cb
+        # (the engine purges its hash index) — vLLM's prefix-cache
+        # retention semantics.
+        self.rc: Dict[int, int] = {}
+        self.retained: Dict[int, None] = {}
+        self.protected: set = set()   # pages backing prefix-index entries
+        self.evict_cb = None          # called with the page id on eviction
+
+    def _take_free(self):
+        if self.free:
+            return self.free.pop()
+        if self.retained:
+            pg = next(iter(self.retained))
+            del self.retained[pg]
+            self.protected.discard(pg)
+            if self.evict_cb is not None:
+                self.evict_cb(pg)
+            return pg
+        return None
 
     def alloc(self, slot: int, tokens_needed: int) -> bool:
         """Ensure slot has pages covering tokens_needed; False if OOM."""
@@ -61,16 +83,36 @@ class PagePool:
         if need > self.table.shape[1]:
             return False
         while have < need:
-            if not self.free:
+            pg = self._take_free()
+            if pg is None:
                 return False
-            pg = self.free.pop()
+            self.rc[pg] = 1
             self.pages_of.setdefault(slot, []).append(pg)
             self.table[slot, have] = pg
             have += 1
         return True
 
+    def share(self, slot: int, pages: List[int]):
+        """Attach already-resident pages (a cached prefix) to a fresh
+        slot: refcount++, revive retained pages. Must precede alloc()."""
+        assert not self.pages_of.get(slot)
+        for i, pg in enumerate(pages):
+            if pg in self.retained:
+                del self.retained[pg]
+            self.rc[pg] = self.rc.get(pg, 0) + 1
+            self.pages_of.setdefault(slot, []).append(pg)
+            self.table[slot, i] = pg
+
     def release(self, slot: int):
-        self.free.extend(self.pages_of.pop(slot, []))
+        for pg in self.pages_of.pop(slot, []):
+            self.rc[pg] = self.rc.get(pg, 1) - 1
+            if self.rc[pg] > 0:
+                continue
+            del self.rc[pg]
+            if pg in self.protected:
+                self.retained[pg] = None   # keep warm for prefix reuse
+            else:
+                self.free.append(pg)
         self.table[slot, :] = 0  # back to the null page
 
 
@@ -84,7 +126,8 @@ class InferenceEngine:
                  page_pool: Optional[PagePool] = None,
                  max_admit_tokens: Optional[int] = None,
                  bucket_admission: bool = True,
-                 decode_block_size: int = 1):
+                 decode_block_size: int = 1,
+                 prefix_cache: bool = False):
         self.model = model
         self.params = params
         self.B = max_batch
@@ -130,6 +173,25 @@ class InferenceEngine:
         self._pending: Optional[Tuple[jax.Array, List[Optional[Request]]]] \
             = None
         self._table_dev = None  # device copy of pool.table (see _table)
+        # Prefix caching (round 5, beyond the reference — vLLM automatic
+        # prefix caching): FULL prompt pages are chain-hashed and shared
+        # across requests; admission reuses the longest cached run of
+        # pages (refcounted; retained after release until pool pressure)
+        # and prefills only the suffix, attending the whole cache through
+        # the packed paged-varlen kernel (MHA prefix_lengths path).
+        self.prefix_cache = prefix_cache
+        if prefix_cache:
+            assert page_pool is not None, "prefix_cache needs a page pool"
+            self._prefix_index: Dict[bytes, int] = {}
+            self._page_keys: Dict[int, bytes] = {}
+            self.prefix_hit_pages = 0
+
+            def _evict(pg):
+                key = self._page_keys.pop(pg, None)
+                if key is not None and self._prefix_index.get(key) == pg:
+                    del self._prefix_index[key]
+
+            page_pool.evict_cb = _evict
 
         # The jitted step closures capture LOCALS, never `self`: a closure
         # over `self` creates a reference cycle (self -> jitted fn -> cell ->
@@ -160,11 +222,15 @@ class InferenceEngine:
 
         self._decode_block_fn = jax.jit(_decode_block_fn, donate_argnums=(1,))
 
-        def _prefill(params, cache, ids, slot_ids, lengths, rng, block_table):
+        def _prefill(params, cache, ids, slot_ids, lengths, rng, block_table,
+                     prefixes=None):
             variables = {"params": params}
             if cache is not None:
                 variables["cache"] = cache
             kw = {} if block_table is None else {"block_table": block_table}
+            if prefixes is not None:
+                # prefix-cached chunked prefill: ids carry only the suffix
+                kw["prefix_lengths"] = prefixes
             # lm_head runs only at each prompt's true last position (full
             # (b, s, vocab) fp32 logits OOM at serving batch sizes)
             logits, state = model.apply(
@@ -176,6 +242,41 @@ class InferenceEngine:
             return nxt, state["cache"], rng
 
         self._prefill = jax.jit(_prefill, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    def _prefix_keys(self, prompt: np.ndarray):
+        """Chain hash per FULL prompt page (key_i commits to pages 0..i)."""
+        import hashlib
+
+        ps = self.pool.page_size
+        keys = []
+        key = b""
+        for i in range(len(prompt) // ps):
+            h = hashlib.sha1(key)
+            h.update(np.ascontiguousarray(
+                prompt[i * ps:(i + 1) * ps], dtype=np.int32).tobytes())
+            key = h.digest()
+            keys.append(key)
+        return keys
+
+    def _match_prefix(self, keys):
+        """Longest cached run of pages for this chain (resident or
+        retained)."""
+        pages = []
+        for key in keys:
+            pg = self._prefix_index.get(key)
+            if pg is None:
+                break
+            pages.append(pg)
+        return pages
+
+    def _register_prefix(self, slot, keys):
+        for i, key in enumerate(keys):
+            pg = self.pool.pages_of[slot][i]
+            if key not in self._prefix_index:
+                self._prefix_index[key] = pg
+                self._page_keys[pg] = key
+                self.pool.protected.add(pg)
 
     # ------------------------------------------------------------------
     def warmup(self, prefill_shapes=None):
@@ -309,31 +410,50 @@ class InferenceEngine:
 
         # ---- admission ----
         free = self._free_slots()
-        admit: List[Tuple[int, Request]] = []
+        # admit tuples: (slot, request, shared_prefix_tokens, chain_keys)
+        admit: List[Tuple[int, Request, int, list]] = []
         while free and self.queue:
             req = self.queue[0]
             slot = free[0]
+            keys: list = []
+            shared_pages: List[int] = []
+            if self.prefix_cache:
+                keys = self._prefix_keys(req.prompt)
+                shared_pages = self._match_prefix(keys)
+                # never share ALL the prompt's pages when the prompt is
+                # page-aligned: the suffix must be >= 1 token so the
+                # prefill emits this request's first logits
+                max_share = (len(req.prompt) - 1) // self.pool.page_size
+                shared_pages = shared_pages[:max_share]
+            n_shared = len(shared_pages) * (self.pool.page_size
+                                            if self.pool else 0)
+            suffix = len(req.prompt) - n_shared
             if self.max_admit_tokens is not None and admit:
                 # Padded prefill cost is rows * max_len; admit the request
                 # only if the padded batch stays within the token budget.
-                max_len = max(len(req.prompt),
-                              max(len(r.prompt) for _, r in admit))
+                max_len = max(suffix,
+                              max(len(r.prompt) - ns
+                                  for _, r, ns, _k in admit))
                 if self.bucket_admission:
                     max_len = _next_pow2(max(max_len, 16))
                 if (len(admit) + 1) * max_len > self.max_admit_tokens:
                     break  # admit the rest next step
-            if self.pool is not None and not self.pool.alloc(
-                    slot, len(req.prompt) + req.max_new_tokens
-                    + 2 * self.decode_block - 1):
-                self.pool.release(slot)
-                break  # out of pages: wait for completions
+            if self.pool is not None:
+                if shared_pages:
+                    self.pool.share(slot, shared_pages)
+                    self.prefix_hit_pages += len(shared_pages)
+                if not self.pool.alloc(
+                        slot, len(req.prompt) + req.max_new_tokens
+                        + 2 * self.decode_block - 1):
+                    self.pool.release(slot)
+                    break  # out of pages: wait for completions
             free.pop(0)
             self.queue.popleft()
-            admit.append((slot, req))
+            admit.append((slot, req, n_shared, keys))
             self._table_dev = None
         if admit:
             rows = len(admit)
-            max_len = max(len(r.prompt) for _, r in admit)
+            max_len = max(len(r.prompt) - ns for _, r, ns, _k in admit)
             dummies: List[int] = []
             if self.bucket_admission:
                 # bucket the jitted-prefill shape: rows -> next pow2 (padding
@@ -352,20 +472,28 @@ class InferenceEngine:
             rows_p = rows + len(dummies)
             ids = np.zeros((rows_p, max_len), np.int32)
             lengths = np.zeros((rows_p,), np.int32)
+            prefixes = np.zeros((rows_p,), np.int32)
             slot_ids = np.asarray(
-                [s for s, _ in admit] + dummies, np.int32)
-            for j, (slot, req) in enumerate(admit):
-                ids[j, :len(req.prompt)] = req.prompt
-                lengths[j] = len(req.prompt)
+                [s for s, _r, _n, _k in admit] + dummies, np.int32)
+            for j, (slot, req, n_shared, _keys) in enumerate(admit):
+                suffix = req.prompt[n_shared:]
+                ids[j, :len(suffix)] = suffix
+                lengths[j] = len(suffix)
+                prefixes[j] = n_shared
                 self.slots[slot] = req
                 self.slot_new[slot] = 0
             self.prefill_shapes.add((rows_p, max_len))
             nxt, self.cache, self.rng = self._prefill(
                 self.params, self.cache, jnp.asarray(ids),
                 jnp.asarray(slot_ids), jnp.asarray(lengths), self.rng,
-                self._table())
+                self._table(),
+                jnp.asarray(prefixes) if self.prefix_cache else None)
+            if self.prefix_cache:
+                # register this batch's FULL prompt pages for future reuse
+                for slot, req, _n, keys in admit:
+                    self._register_prefix(slot, keys)
             nxt = np.asarray(nxt)
-            for j, (slot, req) in enumerate(admit):
+            for j, (slot, req, _n, _keys) in enumerate(admit):
                 tok = int(nxt[j])
                 req.generated.append(tok)
                 self.slot_tok[slot] = tok
@@ -384,7 +512,7 @@ class InferenceEngine:
             else:
                 toks = self._pending[0][-1]
                 if admit:
-                    idx = np.asarray([s for s, _ in admit], np.int32)
+                    idx = np.asarray([s for s, _r, _n, _k in admit], np.int32)
                     toks = toks.at[jnp.asarray(idx)].set(
                         jnp.asarray(self.slot_tok[idx]))
             ys, self.cache, self.rng = self._decode_block_fn(
