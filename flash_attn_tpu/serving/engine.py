@@ -412,6 +412,12 @@ class InferenceEngine:
         free = self._free_slots()
         # admit tuples: (slot, request, shared_prefix_tokens, chain_keys)
         admit: List[Tuple[int, Request, int, list]] = []
+        # in-batch sharing (parallel sampling: N same-prompt requests in
+        # one admission): chain keys of already-admitted rows resolve to
+        # their freshly-allocated pages. Safe within one prefill call —
+        # every row's KV write completes before any row's attention reads
+        # (the attention kernel depends on the updated cache arrays).
+        batch_keys: Dict[bytes, int] = {}
         while free and self.queue:
             req = self.queue[0]
             slot = free[0]
@@ -420,6 +426,12 @@ class InferenceEngine:
             if self.prefix_cache:
                 keys = self._prefix_keys(req.prompt)
                 shared_pages = self._match_prefix(keys)
+                if len(shared_pages) < len(keys):
+                    for key in keys[len(shared_pages):]:
+                        pg = batch_keys.get(key)
+                        if pg is None:
+                            break
+                        shared_pages.append(pg)
                 # never share ALL the prompt's pages when the prompt is
                 # page-aligned: the suffix must be >= 1 token so the
                 # prefill emits this request's first logits
@@ -451,6 +463,11 @@ class InferenceEngine:
             self.queue.popleft()
             admit.append((slot, req, n_shared, keys))
             self._table_dev = None
+            if self.prefix_cache:
+                pages = self.pool.pages_of.get(slot, [])
+                for i, key in enumerate(keys):
+                    if i < len(pages):
+                        batch_keys.setdefault(key, pages[i])
         if admit:
             rows = len(admit)
             max_len = max(len(r.prompt) - ns for _, r, ns, _k in admit)

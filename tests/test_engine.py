@@ -485,3 +485,27 @@ def test_engine_prefix_cache_retention_and_eviction(model_and_params):
     r3 = eng.submit(common + [1, 2], max_new_tokens=4)
     out3 = eng.run()[r3]
     assert out3 == out1
+
+
+def test_engine_prefix_cache_in_batch_sharing(model_and_params):
+    """Parallel sampling: same-prompt requests admitted in ONE batch share
+    the prefix pages of the first row (safe: every row's KV write
+    completes before any row's attention in the same prefill call)."""
+    rng = np.random.default_rng(17)
+    common = rng.integers(0, 96, size=37).tolist()
+    jobs = [(common + rng.integers(0, 96, size=k).tolist(), 5)
+            for k in (4, 6, 3, 8)]
+
+    eng_plain, _ = _paged_engine(model_and_params, prefix_cache=False,
+                                 max_batch=4)
+    ids1 = [eng_plain.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_plain = eng_plain.run()
+
+    eng_px, pool = _paged_engine(model_and_params, prefix_cache=True,
+                                 max_batch=4)
+    ids2 = [eng_px.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_px = eng_px.run()
+    for r1, r2 in zip(ids1, ids2):
+        assert res_plain[r1] == res_px[r2], (res_plain[r1], res_px[r2])
+    # all 4 admitted together; rows 2-4 share row 1's two full pages
+    assert eng_px.prefix_hit_pages >= 2 * 3, eng_px.prefix_hit_pages
