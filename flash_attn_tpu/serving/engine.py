@@ -590,6 +590,28 @@ class InferenceEngine:
                 self.pool.release(slot)
                 self._table_dev = None
 
+    def stats(self) -> Dict[str, object]:
+        """Engine observability snapshot (the reference exposes nothing
+        comparable; vLLM's /metrics analogue): slot/pool occupancy,
+        compiled prefill shapes, prefix-cache hit count."""
+        out: Dict[str, object] = {
+            "active_slots": sum(s is not None for s in self.slots),
+            "max_batch": self.B,
+            "queued": len(self.queue),
+            "prefill_shapes": sorted(self.prefill_shapes),
+            "pending_block": self._pending is not None,
+        }
+        if self.pool is not None:
+            out.update(
+                pool_free_pages=len(self.pool.free),
+                pool_retained_pages=len(self.pool.retained),
+                pool_active_pages=len(self.pool.rc),
+            )
+        if self.prefix_cache:
+            out.update(prefix_hit_pages=self.prefix_hit_pages,
+                       prefix_index_entries=len(self._prefix_index))
+        return out
+
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Run until queue + slots drain; returns {req_id: generated}."""
         for _ in range(max_steps):

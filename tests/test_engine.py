@@ -509,3 +509,16 @@ def test_engine_prefix_cache_in_batch_sharing(model_and_params):
         assert res_plain[r1] == res_px[r2], (res_plain[r1], res_px[r2])
     # all 4 admitted together; rows 2-4 share row 1's two full pages
     assert eng_px.prefix_hit_pages >= 2 * 3, eng_px.prefix_hit_pages
+
+
+def test_engine_stats(model_and_params):
+    eng, pool = _paged_engine(model_and_params, prefix_cache=True)
+    eng.submit([1, 2, 3, 4, 5] * 8, max_new_tokens=3)
+    eng.step()
+    st = eng.stats()
+    assert st["active_slots"] == 1 and st["max_batch"] == 2
+    assert st["pool_active_pages"] > 0
+    assert "prefix_hit_pages" in st
+    eng.run()
+    st = eng.stats()
+    assert st["active_slots"] == 0 and not st["pending_block"]
