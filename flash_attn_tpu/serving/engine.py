@@ -590,6 +590,29 @@ class InferenceEngine:
                 self.pool.release(slot)
                 self._table_dev = None
 
+    def cancel(self, req_id: int) -> bool:
+        """Cancel a request: drop it from the queue, or mark its slot for
+        release (freed when the in-flight block is processed; any tokens
+        decoded meanwhile are discarded like a post-eos tail). Returns
+        False for unknown/finished ids."""
+        req = self.requests.get(req_id)
+        if req is None or req.done:
+            return False
+        req.done = True  # processing skips done requests
+        for i, qreq in enumerate(self.queue):
+            if qreq.req_id == req_id:
+                del self.queue[i]
+                return True
+        for slot, sreq in enumerate(self.slots):
+            if sreq is req:
+                self.slots[slot] = None
+                if self.pool is not None:
+                    self.pool.release(slot)
+                    self._table_dev = None
+                self._set_inactive_offsets_zero()
+                break
+        return True
+
     def stats(self) -> Dict[str, object]:
         """Engine observability snapshot (the reference exposes nothing
         comparable; vLLM's /metrics analogue): slot/pool occupancy,

@@ -522,3 +522,28 @@ def test_engine_stats(model_and_params):
     eng.run()
     st = eng.stats()
     assert st["active_slots"] == 0 and not st["pending_block"]
+
+
+def test_engine_cancel(model_and_params):
+    """cancel() drops queued requests and releases active slots; other
+    requests' outputs are unaffected (greedy equality with a plain run)."""
+    model, params = model_and_params
+    rng = np.random.default_rng(23)
+    p1 = rng.integers(0, 96, size=7).tolist()
+    p2 = rng.integers(0, 96, size=5).tolist()
+    p3 = rng.integers(0, 96, size=6).tolist()
+
+    eng = InferenceEngine(model, params, max_batch=2,
+                          gen_cfg=GenerationConfig(top_k=1))
+    r1 = eng.submit(p1, max_new_tokens=8)
+    r2 = eng.submit(p2, max_new_tokens=8)
+    r3 = eng.submit(p3, max_new_tokens=8)  # queued (2 slots)
+    eng.step()  # admits r1, r2
+    assert eng.cancel(r3) is True      # cancel while queued
+    assert eng.cancel(r2) is True      # cancel while active
+    assert eng.cancel(999) is False
+    res = eng.run()
+    assert res[r1] == _reference_generation(model, params, p1, 8)
+    assert len(res[r3]) == 0
+    assert eng.cancel(r1) is False     # already finished
+    assert eng.stats()["active_slots"] == 0
