@@ -547,3 +547,45 @@ def test_engine_cancel(model_and_params):
     assert len(res[r3]) == 0
     assert eng.cancel(r1) is False     # already finished
     assert eng.stats()["active_slots"] == 0
+
+
+def test_engine_randomized_stress_invariants(model_and_params):
+    """Randomized submit/cancel/step trace over the prefix-cached paged
+    engine: page accounting must stay exact (every page is free, retained,
+    or refcounted — no leaks, no double-frees) and every non-cancelled
+    request completes with <= max_new_tokens."""
+    rng = np.random.default_rng(31)
+    eng, pool = _paged_engine(model_and_params, prefix_cache=True,
+                              num_pages=14, page_size=16, max_batch=2)
+    total_pages = 14 - 1  # page 0 = null
+    common = rng.integers(0, 96, size=20).tolist()
+    live = []
+    for it in range(40):
+        op = rng.random()
+        if op < 0.4 and len(live) < 6:
+            base = common if rng.random() < 0.5 else []
+            p = base + rng.integers(0, 96,
+                                    size=int(rng.integers(1, 30))).tolist()
+            live.append(eng.submit(p, max_new_tokens=int(
+                rng.integers(1, 6))))
+        elif op < 0.5 and live:
+            eng.cancel(live.pop(int(rng.integers(0, len(live)))))
+        else:
+            eng.step()
+        # page accounting invariant after every operation: every page is
+        # exactly one of {free, retained, refcounted}, and the refcounted
+        # set equals the union of slot holdings
+        held = {pg for pages in pool.pages_of.values() for pg in pages}
+        assert set(pool.rc) == held, (pool.rc, held)
+        assert len(pool.free) + len(pool.retained) + len(pool.rc) \
+            == total_pages, (len(pool.free), len(pool.retained),
+                             len(pool.rc))
+        assert not (set(pool.free) & set(pool.retained))
+        assert not (set(pool.free) & set(pool.rc))
+    eng.run()
+    for rid, req in eng.requests.items():
+        assert req.done, rid
+        assert len(req.generated) <= req.max_new_tokens, \
+            (rid, len(req.generated))
+    # drained: everything back to free or retained
+    assert len(pool.free) + len(pool.retained) == total_pages
