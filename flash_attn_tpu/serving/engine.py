@@ -127,7 +127,9 @@ class InferenceEngine:
                  max_admit_tokens: Optional[int] = None,
                  bucket_admission: bool = True,
                  decode_block_size: int = 1,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False,
+                 draft_model=None, draft_params=None,
+                 speculative_k: int = 4):
         self.model = model
         self.params = params
         self.B = max_batch
@@ -173,6 +175,19 @@ class InferenceEngine:
         self._pending: Optional[Tuple[jax.Array, List[Optional[Request]]]] \
             = None
         self._table_dev = None  # device copy of pool.table (see _table)
+        # Speculative decoding inside the engine (round 5; the reference's
+        # decode_speculative is a standalone static-batch loop —
+        # utils/generation.py:269): when a draft model is given, each
+        # decode step becomes one speculative ROUND (draft proposes k,
+        # target verifies k+1 in one call, per-slot acceptance + cache
+        # rewinds), losslessly equivalent to plain decoding per the
+        # probability-ratio test (exact for greedy).
+        self.spec = draft_model is not None
+        self.speculative_k = speculative_k
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.draft_cache = None
+        self.slot_prev2 = np.zeros((max_batch,), np.int32)
         # Prefix caching (round 5, beyond the reference — vLLM automatic
         # prefix caching): FULL prompt pages are chain-hashed and shared
         # across requests; admission reuses the longest cached run of
@@ -180,6 +195,10 @@ class InferenceEngine:
         # and prefills only the suffix, attending the whole cache through
         # the packed paged-varlen kernel (MHA prefix_lengths path).
         self.prefix_cache = prefix_cache
+        if self.spec:
+            assert not prefix_cache, \
+                "speculative x prefix_cache unsupported (the draft cache " \
+                "holds no shared pages)"
         if prefix_cache:
             assert page_pool is not None, "prefix_cache needs a page pool"
             self._prefix_index: Dict[bytes, int] = {}
@@ -242,6 +261,65 @@ class InferenceEngine:
             return nxt, state["cache"], rng
 
         self._prefill = jax.jit(_prefill, donate_argnums=(1,))
+
+        if self.spec:
+            from flash_attn_tpu.serving.speculative import (
+                _rewind_cache, sample_speculative)
+
+            dmodel, kspec = draft_model, speculative_k
+
+            def _draft_prefill(d_params, d_cache, ids, slot_ids, lengths):
+                variables = {"params": d_params}
+                if d_cache is not None:
+                    variables["cache"] = d_cache
+                _, state = dmodel.apply(
+                    variables, ids, mode="prefill", mutable=["cache"],
+                    slot_ids=slot_ids, prefill_lengths=lengths,
+                    logits_positions=jnp.maximum(lengths - 1, 0))
+                return state["cache"]
+
+            self._draft_prefill = jax.jit(_draft_prefill,
+                                          donate_argnums=(1,))
+
+            def _spec_round(t_params, d_params, t_cache, d_cache, cur,
+                            prev2, active, rng, t_table):
+                # draft proposes k tokens from the SAME filtered
+                # distribution the acceptance test uses
+                feed = jnp.stack([prev2, cur], axis=1)  # (B, 2)
+                proposals, d_logits_list = [], []
+                for _step in range(kspec):
+                    dl, d_state = dmodel.apply(
+                        {"params": d_params, "cache": d_cache}, feed,
+                        mode="decode", mutable=["cache"])
+                    d_cache = d_state["cache"]
+                    rng, dkey = jax.random.split(rng)
+                    nxt = sample_token(dl[:, -1], dkey, gen_cfg)
+                    proposals.append(nxt)
+                    d_logits_list.append(dl[:, -1])
+                    feed = nxt[:, None]
+                tokens_draft = jnp.stack(proposals, axis=1)      # (B, k)
+                logits_draft = jnp.stack(d_logits_list, axis=1)
+                toks = jnp.concatenate([cur[:, None], tokens_draft], 1)
+                kw = {} if t_table is None else {"block_table": t_table}
+                tl, t_state = model.apply(
+                    {"params": t_params, "cache": t_cache}, toks,
+                    mode="decode", mutable=["cache"], **kw)
+                t_cache = t_state["cache"]
+                rng, key = jax.random.split(rng)
+                tokens, num = sample_speculative(
+                    tl, logits_draft, tokens_draft, key,
+                    top_k=gen_cfg.top_k, top_p=gen_cfg.top_p,
+                    temperature=gen_cfg.temperature, min_p=gen_cfg.min_p)
+                # rewinds: active rows keep n_acc+1 of the k+1 target
+                # appends and return the draft to committed'[:-2]; rows
+                # inactive at dispatch rewind everything they appended
+                n_acc = num - 1
+                delta = jnp.where(active, kspec - n_acc, kspec + 1)
+                t_cache = _rewind_cache(t_cache, delta)
+                d_cache = _rewind_cache(d_cache, delta)
+                return tokens, num, t_cache, d_cache, rng
+
+            self._spec_round = jax.jit(_spec_round, donate_argnums=(2, 3))
 
     # ------------------------------------------------------------------
     def _prefix_keys(self, prompt: np.ndarray):
@@ -341,6 +419,7 @@ class InferenceEngine:
     def close(self):
         """Release the KV cache and compiled-step references eagerly."""
         self.cache = None
+        self.draft_cache = None
         self._prefill = self._decode_block_fn = None
         self.reset()
 
@@ -371,6 +450,9 @@ class InferenceEngine:
             return leaf
 
         self.cache = jax.tree_util.tree_map_with_path(fix, self.cache)
+        if self.draft_cache is not None:
+            self.draft_cache = jax.tree_util.tree_map_with_path(
+                fix, self.draft_cache)
 
     def _table(self):
         # device table cached between admission/release events: a fresh
@@ -393,6 +475,12 @@ class InferenceEngine:
             slot_ids=jnp.arange(self.B),
             prefill_lengths=jnp.zeros((self.B,), jnp.int32), **kw)
         self.cache = state["cache"]
+        if self.spec:
+            _, dstate = self.draft_model.apply(
+                {"params": self.draft_params}, ids, mode="prefill",
+                mutable=["cache"], slot_ids=jnp.arange(self.B),
+                prefill_lengths=jnp.zeros((self.B,), jnp.int32))
+            self.draft_cache = dstate["cache"]
         self._set_inactive_offsets_zero()
 
     # ------------------------------------------------------------------
@@ -451,12 +539,14 @@ class InferenceEngine:
                 if (len(admit) + 1) * max_len > self.max_admit_tokens:
                     break  # admit the rest next step
             if self.pool is not None:
+                margin = (self.speculative_k + 1 if self.spec
+                          else 2 * self.decode_block - 1)
                 if shared_pages:
                     self.pool.share(slot, shared_pages)
                     self.prefix_hit_pages += len(shared_pages)
                 if not self.pool.alloc(
                         slot, len(req.prompt) + req.max_new_tokens
-                        + 2 * self.decode_block - 1):
+                        + margin):
                     self.pool.release(slot)
                     break  # out of pages: wait for completions
             free.pop(0)
@@ -509,6 +599,15 @@ class InferenceEngine:
                 # register this batch's FULL prompt pages for future reuse
                 for slot, req, _n, keys in admit:
                     self._register_prefix(slot, keys)
+            if self.spec:
+                # draft-cache convention (serving/speculative.py): holds
+                # KV for committed[:-2] = prompt[:-1] after admission
+                self.draft_cache = self._draft_prefill(
+                    self.draft_params, self.draft_cache, jnp.asarray(ids),
+                    jnp.asarray(slot_ids),
+                    jnp.maximum(jnp.asarray(lengths) - 1, 0))
+                for slot, req, _n, _k in admit:
+                    self.slot_prev2[slot] = int(req.prompt[-1])
             nxt = np.asarray(nxt)
             for j, (slot, req, _n, _keys) in enumerate(admit):
                 tok = int(nxt[j])
@@ -517,6 +616,41 @@ class InferenceEngine:
                 self.slot_new[slot] = 1
                 emitted.append((req.req_id, tok))
                 self._maybe_finish(slot, req, tok)
+
+        # ---- speculative mode: one synchronous round per step ----
+        if self.spec:
+            if any(r is not None for r in self.slots):
+                active = np.array([r is not None for r in self.slots])
+                tokens, num, self.cache, self.draft_cache, self.rng = \
+                    self._spec_round(
+                        self.params, self.draft_params, self.cache,
+                        self.draft_cache, jnp.asarray(self.slot_tok),
+                        jnp.asarray(self.slot_prev2), jnp.asarray(active),
+                        self.rng, self._table())
+                tokens_np = np.asarray(tokens)
+                num_np = np.asarray(num)
+                finished: List[int] = []
+                for slot, req in enumerate(self.slots):
+                    if req is None:
+                        continue
+                    for tok in tokens_np[slot, :int(num_np[slot])]:
+                        if req.done:
+                            break  # tail past eos/max discarded
+                        tok = int(tok)
+                        req.generated.append(tok)
+                        self.slot_prev2[slot] = self.slot_tok[slot]
+                        self.slot_tok[slot] = tok
+                        self.slot_new[slot] += 1
+                        emitted.append((req.req_id, tok))
+                        self._maybe_finish(slot, req, tok, defer=finished)
+                if finished:
+                    for slot in finished:
+                        self.slots[slot] = None
+                        if self.pool is not None:
+                            self.pool.release(slot)
+                            self._table_dev = None
+                    self._set_inactive_offsets_zero()
+            return emitted
 
         # ---- dispatch this step's decode block BEFORE fetching the
         # previous one (async host pipeline): the device carries the token

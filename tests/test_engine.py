@@ -589,3 +589,76 @@ def test_engine_randomized_stress_invariants(model_and_params):
             (rid, len(req.generated))
     # drained: everything back to free or retained
     assert len(pool.free) + len(pool.retained) == total_pages
+
+
+@pytest.mark.parametrize("perfect_draft", [False, True])
+def test_engine_speculative_matches_plain(model_and_params, perfect_draft):
+    """Speculative continuous batching (round 5): per-round draft-propose /
+    target-verify with per-slot acceptance + cache rewinds must decode
+    greedily to EXACTLY the plain engine's outputs (the probability-ratio
+    test is lossless; greedy is exact), across staggered admissions and
+    slot reuse — with both a disagreeing draft (low acceptance) and the
+    target itself as draft (full acceptance)."""
+    model, params = model_and_params
+    if perfect_draft:
+        draft_model, draft_params = model, params
+    else:
+        from flash_attn_tpu.models.gpt import GPTLMHeadModel
+        draft_model = GPTLMHeadModel(model.config)
+        draft_params = draft_model.init(
+            jax.random.PRNGKey(42), jnp.zeros((1, 8), jnp.int32))["params"]
+
+    rng = np.random.default_rng(29)
+    jobs = [(rng.integers(0, 96, size=n).tolist(), m)
+            for n, m in [(6, 9), (4, 5), (8, 12), (3, 7), (5, 3)]]
+
+    plain = InferenceEngine(model, params, max_batch=2,
+                            gen_cfg=GenerationConfig(top_k=1))
+    ids1 = [plain.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_plain = plain.run()
+
+    spec = InferenceEngine(model, params, max_batch=2,
+                           gen_cfg=GenerationConfig(top_k=1),
+                           draft_model=draft_model,
+                           draft_params=draft_params, speculative_k=3)
+    ids2 = [spec.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_spec = spec.run()
+    for r1, r2 in zip(ids1, ids2):
+        assert res_plain[r1] == res_spec[r2], (res_plain[r1], res_spec[r2])
+
+
+def test_engine_speculative_paged(model_and_params):
+    """Speculative rounds against a PAGED target cache (rewind margin in
+    the page allocation) still match the plain engine exactly."""
+    model, params = model_and_params
+    from flash_attn_tpu.models.gpt import GPTLMHeadModel
+    draft_model = GPTLMHeadModel(model.config)
+    draft_params = draft_model.init(
+        jax.random.PRNGKey(43), jnp.zeros((1, 8), jnp.int32))["params"]
+
+    rng = np.random.default_rng(37)
+    jobs = [(rng.integers(0, 96, size=n).tolist(), m)
+            for n, m in [(7, 8), (5, 6), (4, 10)]]
+
+    plain, _ = _paged_engine(model_and_params, prefix_cache=False)
+    ids1 = [plain.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_plain = plain.run()
+
+    import dataclasses
+    from flash_attn_tpu.serving.engine import PagePool
+    cfg_lin = model.config
+    page_size = 16
+    mpps = (cfg_lin.max_decode_seqlen + page_size - 1) // page_size
+    num_pages = 2 * mpps + 8
+    cfg_paged = dataclasses.replace(cfg_lin, paged_kv_num_pages=num_pages,
+                                    paged_kv_page_size=page_size)
+    model_paged = GPTLMHeadModel(cfg_paged)
+    pool = PagePool(num_pages, page_size, mpps, max_batch=2)
+    spec = InferenceEngine(model_paged, params, max_batch=2,
+                           gen_cfg=GenerationConfig(top_k=1),
+                           page_pool=pool, draft_model=draft_model,
+                           draft_params=draft_params, speculative_k=3)
+    ids2 = [spec.submit(p, max_new_tokens=m) for p, m in jobs]
+    res_spec = spec.run()
+    for r1, r2 in zip(ids1, ids2):
+        assert res_plain[r1] == res_spec[r2], (res_plain[r1], res_spec[r2])
